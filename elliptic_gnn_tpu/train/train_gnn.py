@@ -1,0 +1,386 @@
+"""GNN training engine: jitted full-batch + neighbor-sampled training.
+
+The TPU-native counterpart of the reference trainer
+(/root/reference/src/train_gnn.py:282-564). Behavior and artifact contract
+match the reference exactly — same YAML config keys, same `outputs/gnn/<run>`
+layout (metrics.json, scores_*.npy, y_*.npy, node_idx_*.npy,
+timestep_*.npy, best.ckpt, config_used.yaml, training_log.csv, optional
+metrics_hub_removed.json) — while the execution model is re-designed for
+XLA:
+
+  - one jitted `train_step` per epoch: forward over the full graph via ELL
+    aggregation, masked loss on train nodes, grad, clip, Adam — no Python
+    in the hot loop;
+  - per-epoch evaluation pulls back only the val-slice probabilities
+    (the reference transfers full-graph probs every epoch,
+    train_gnn.py:254-257);
+  - early stopping on val PR-AUC with patience + best-params snapshot
+    (train_gnn.py:375-413);
+  - temperature calibration as a jitted Newton solve (train/calibrate.py)
+    instead of torch LBFGS;
+  - mixed precision: TPU MXU executes f32 matmuls with bf16 multiplier
+    passes by default, so the reference's AMP flag (train_gnn.py:36-47) is
+    accepted and implied;
+  - periodic `resume.ckpt` (params + opt state + epoch) adds the
+    mid-training resume the reference lacks (SURVEY.md §5);
+  - `mini_batch: true` uses the fixed-shape neighbor sampler
+    (train/sampler.py), the TPU analogue of PyG NeighborLoader
+    (train_gnn.py:329-348).
+
+CLI:  python -m elliptic_gnn_tpu.train.train_gnn --config configs/rec_k8.yaml
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from ..graph import load_processed, make_temporal_masks
+from ..graph.transform import append_scalar_time, remove_hub_edges, symmetrize_edges
+from ..models import MODEL_GRAPH_KIND, build_model, prepare_graph_ops
+from ..models.losses import class_weights, make_loss_fn
+from ..utils.common import ensure_dir, log_device_info, save_json, set_seed
+from ..utils.logger import RunLogger
+from ..utils import metrics as M
+from . import calibrate, checkpoint
+
+
+def make_optimizer(cfg: dict) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: L2 weight decay added to the gradient
+    *before* the Adam moments (not AdamW), grad-norm clip applied first
+    (train_gnn.py:203-205,357-359)."""
+    chain = []
+    grad_clip = float(cfg.get("grad_clip", 0) or 0)
+    if grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    wd = float(cfg.get("weight_decay", 0.0))
+    if wd > 0:
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    chain.append(optax.scale(-float(cfg["lr"])))
+    return optax.chain(*chain)
+
+
+def prepare_data(cfg: dict):
+    """Load the processed graph and apply the reference's preprocessing
+    pipeline: rolling window re-mask, scalar-time append, symmetrization
+    (train_gnn.py:294-326)."""
+    data = load_processed(cfg["processed_dir"])
+    if data.train_mask is None:
+        raise RuntimeError(
+            "Build graph first: python -m elliptic_gnn_tpu.graph.build_graph "
+            "--config configs/split.yaml"
+        )
+
+    window_k = cfg.get("train_window_k")
+    if window_k is not None:
+        train_ts = data.timestep[data.train_mask]
+        if train_ts.size == 0:
+            raise RuntimeError("Train mask is empty; cannot apply rolling window.")
+        val_ts = data.timestep[data.val_mask]
+        if val_ts.size == 0:
+            raise RuntimeError("Validation mask is empty; cannot infer t_val_end.")
+        data = make_temporal_masks(
+            data, int(train_ts.max()), int(val_ts.max()), int(window_k)
+        )
+
+    if cfg.get("use_time_scalar", False) and int(cfg.get("time_embed_dim", 0) or 0) == 0:
+        data = append_scalar_time(data)
+
+    if cfg.get("symmetrize_edges", False):
+        data = symmetrize_edges(data)
+    return data
+
+
+def build_train_state(cfg: dict, data, seed: int):
+    """Construct (model, gops, params, state, tx, opt_state, loss_fn)."""
+    arch = cfg["arch"]
+    if arch not in MODEL_GRAPH_KIND:
+        raise ValueError(
+            f"Unknown arch {arch!r}; expected one of {sorted(MODEL_GRAPH_KIND)}"
+        )
+    kind = MODEL_GRAPH_KIND[arch]
+    gops = prepare_graph_ops(data.edge_index, data.num_nodes, kind)
+    model = build_model(arch, data.num_features, cfg)
+    params, state = model.init(jax.random.key(seed))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    if cfg.get("class_weight_pos", "auto") == "auto":
+        cw = class_weights(data.y[data.train_mask])
+    else:
+        cw = np.array([1.0, float(cfg["class_weight_pos"])], dtype=np.float32)
+    t_train = data.timestep[data.train_mask]
+    t_min, t_max = int(t_train.min()), int(t_train.max())
+    loss_fn = make_loss_fn(cfg, cw, t_min, t_max)
+    return model, gops, params, state, tx, opt_state, loss_fn
+
+
+def main(cfg: dict) -> dict:
+    set_seed(cfg.get("seed", 42))
+    outdir = os.path.join(cfg.get("output_root", "outputs"), "gnn", cfg["run_name"])
+    ensure_dir(outdir)
+    logger = RunLogger(outdir)
+    log_device_info()
+
+    data = prepare_data(cfg)
+    model, gops, params, state, tx, opt_state, loss_fn = build_train_state(
+        cfg, data, cfg.get("seed", 42)
+    )
+
+    t_start = time.time()
+    if cfg.get("mini_batch", False):
+        from .sampler import train_loop_minibatch
+
+        params, state, best_val, epochs_run = train_loop_minibatch(
+            cfg, data, model, params, state, tx, opt_state, loss_fn, logger
+        )
+    else:
+        params, state, best_val, epochs_run = _train_loop_fullbatch(
+            cfg, outdir, data, model, gops, params, state, tx, opt_state,
+            loss_fn, logger
+        )
+    train_seconds = time.time() - t_start
+
+    return _finalize(
+        cfg, outdir, data, model, gops, params, state, best_val, logger,
+        train_seconds, epochs_run,
+    )
+
+
+def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
+                          opt_state, loss_fn, logger):
+    x = jnp.asarray(data.x)
+    y_all = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))  # -1 -> 0, masked
+    t_all = jnp.asarray(data.timestep.astype(np.int32))
+    train_mask_f = jnp.asarray(data.train_mask.astype(np.float32))
+    val_idx = jnp.asarray(np.where(data.val_mask)[0].astype(np.int32))
+    t_idx_arg = t_all if model.uses_time_embed else None
+    use_time_loss = str(cfg.get("time_loss_weighting", "none")) != "none"
+
+    @jax.jit
+    def train_step(params, state, opt_state, rng):
+        def lf(p):
+            logits, new_state = model.apply(
+                p, state, x, gops, t_idx_arg, training=True, rng=rng
+            )
+            loss = loss_fn(
+                p, logits, y_all, t_all if use_time_loss else None, train_mask_f
+            )
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt, loss
+
+    @jax.jit
+    def eval_val(params, state):
+        logits, _ = model.apply(params, state, x, gops, t_idx_arg, training=False)
+        probs = jax.nn.softmax(logits, axis=1)[:, 1]
+        return probs[val_idx]
+
+    y_val_bin = (data.y[data.val_mask] == 1).astype(int)
+
+    best_val, bad = -1.0, 0
+    best_params, best_state = params, state
+    patience = int(cfg.get("patience", 20))
+    start_epoch = 1
+    ckpt_every = int(cfg.get("checkpoint_every", 0) or 0)
+
+    if cfg.get("resume", False) and checkpoint.has_resume(outdir):
+        params, state, opt_state, start_epoch, best_val, bad = checkpoint.load_resume(
+            outdir, params, state, opt_state
+        )
+        best_params, best_state = params, state
+        start_epoch += 1
+        print(f"[RESUME] from epoch {start_epoch} (best_val={best_val:.4f})")
+
+    rng = jax.random.key(cfg.get("seed", 42) + 1)
+    epochs_run = 0
+    profile_dir = cfg.get("profile_dir")
+
+    for epoch in range(start_epoch, int(cfg["max_epochs"]) + 1):
+        if profile_dir and epoch == start_epoch + 3:
+            jax.profiler.start_trace(profile_dir)
+        rng, step_rng = jax.random.split(rng)
+        params, state, opt_state, loss = train_step(params, state, opt_state, step_rng)
+        p_val = np.asarray(eval_val(params, state))
+        if profile_dir and epoch == start_epoch + 5:
+            jax.profiler.stop_trace()
+
+        pr_val = 0.0 if p_val.size == 0 else M.pr_auc_illicit(y_val_bin, p_val)
+        loss_f = float(loss)
+        logger.log_epoch(epoch, loss_f, pr_val)
+        epochs_run += 1
+
+        if pr_val > best_val:
+            best_val = pr_val
+            best_params, best_state = params, state
+            bad = 0
+        else:
+            bad += 1
+
+        if epoch % 10 == 0 or epoch == 1:
+            print(
+                f"Epoch {epoch:4d} | loss {loss_f:.4f} | "
+                f"val PR-AUC(illicit) {pr_val:.4f} (best {best_val:.4f})"
+            )
+        if ckpt_every and epoch % ckpt_every == 0:
+            checkpoint.save_resume(outdir, params, state, opt_state, epoch, best_val, bad)
+        if bad >= patience:
+            print("Early stopping.")
+            break
+
+    return best_params, best_state, best_val, epochs_run
+
+
+def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
+              train_seconds: float, epochs_run: int) -> dict:
+    """Post-training tail shared by full-batch and mini-batch paths:
+    full-graph eval, temperature scaling, artifacts, threshold + metrics,
+    checkpoint, optional hub ablation, config echo (train_gnn.py:416-564)."""
+    x = jnp.asarray(data.x)
+    t_all = jnp.asarray(data.timestep.astype(np.int32))
+    t_idx_arg = t_all if model.uses_time_embed else None
+
+    @jax.jit
+    def eval_full(params, state, gops):
+        logits, _ = model.apply(params, state, x, gops, t_idx_arg, training=False)
+        return logits
+
+    logits_full = np.asarray(eval_full(params, state, gops))
+    y_val_bin = (data.y[data.val_mask] == 1).astype(int)
+
+    temp = 1.0
+    if bool(cfg.get("calibrate_temperature", True)):
+        temp = calibrate.fit_temperature(logits_full[data.val_mask], y_val_bin)
+        print(f"[CALIB] temperature T={temp:.4f}")
+
+    def probs_from_logits(lg):
+        z = lg / temp
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return (e / e.sum(axis=1, keepdims=True))[:, 1]
+
+    probs = probs_from_logits(logits_full)
+    metrics = finish_run(cfg, outdir, data, probs, best_val, extra={
+        "train_seconds": float(train_seconds),
+        "epochs_run": int(epochs_run),
+        "edges_per_s": float(data.num_edges) * epochs_run / max(train_seconds, 1e-9),
+        "temperature": float(temp),
+    })
+    checkpoint.save_best(outdir, params, state)
+
+    frac = float(cfg.get("ablate_hubs_frac", 0.0) or 0.0)
+    if frac > 0:
+        ei_abl, num_hubs = remove_hub_edges(data.edge_index, data.num_nodes, frac)
+        gops_abl = prepare_graph_ops(
+            ei_abl, data.num_nodes, MODEL_GRAPH_KIND[cfg["arch"]]
+        )
+        logits_abl, _ = model.apply(
+            params, state, x, gops_abl, t_idx_arg, training=False
+        )
+        p_abl = probs_from_logits(np.asarray(logits_abl))
+        thr = metrics["threshold"]
+        y_te = data.y[data.test_mask]
+        y_bin = (y_te == 1).astype(int)
+        p_te_abl = p_abl[data.test_mask]
+        hub_metrics = dict(
+            pr_auc_illicit=M.pr_auc_illicit(y_bin, p_te_abl),
+            roc_auc=M.roc_auc_illicit(y_bin, p_te_abl),
+            f1_illicit_at_thr=M.f1_at_threshold(y_bin, p_te_abl, thr),
+            threshold=thr,
+            precision_at_k=M.precision_at_k(y_bin, p_te_abl, int(cfg.get("topk", 100))),
+            recall_at_precision=M.recall_at_precision(
+                y_bin, p_te_abl, float(cfg.get("precision_target", 0.90) or 0.90)
+            ),
+            ece=M.expected_calibration_error(y_bin, p_te_abl),
+            n_test=int(len(y_te)),
+            n_hubs=int(num_hubs),
+            hub_fraction=frac,
+            n_edges_remaining=int(ei_abl.shape[1]),
+        )
+        save_json(os.path.join(outdir, "metrics_hub_removed.json"), hub_metrics)
+
+    with open(os.path.join(outdir, "config_used.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+    logger.close()
+    print(json.dumps(metrics, indent=2))
+    return metrics
+
+
+def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
+               extra: Optional[dict] = None) -> dict:
+    """Shared artifact + metrics emission: the run-directory contract
+    (train_gnn.py:456-523). `probs` are calibrated P(illicit) for all nodes."""
+    y_np = data.y
+    val_mask, test_mask = data.val_mask, data.test_mask
+    timestep_np = data.timestep
+
+    y_val, p_val = y_np[val_mask], probs[val_mask]
+    y_te, p_te = y_np[test_mask], probs[test_mask]
+
+    np.save(os.path.join(outdir, "scores_val.npy"), p_val)
+    np.save(os.path.join(outdir, "y_val.npy"), y_val)
+    np.save(os.path.join(outdir, "node_idx_val.npy"), np.where(val_mask)[0])
+    np.save(os.path.join(outdir, "timestep_val.npy"), timestep_np[val_mask])
+    np.save(os.path.join(outdir, "scores_test.npy"), p_te)
+    np.save(os.path.join(outdir, "y_test.npy"), y_te)
+    np.save(os.path.join(outdir, "node_idx_test.npy"), np.where(test_mask)[0])
+    np.save(os.path.join(outdir, "timestep_test.npy"), timestep_np[test_mask])
+
+    # threshold selection (train_gnn.py:466-474)
+    if cfg.get("use_val_for_thresholds", True):
+        pt = float(cfg.get("precision_target", 0.0) or 0.0)
+        if pt > 0:
+            thr = M.pick_threshold_for_precision((y_val == 1).astype(int), p_val, pt)
+        else:
+            thr, _ = M.pick_threshold_max_f1((y_val == 1).astype(int), p_val)
+    else:
+        thr, _ = M.pick_threshold_max_f1((y_te == 1).astype(int), p_te)
+
+    y_bin = (y_te == 1).astype(int)
+    metrics = dict(
+        pr_auc_illicit=M.pr_auc_illicit(y_bin, p_te),
+        roc_auc=M.roc_auc_illicit(y_bin, p_te),
+        f1_illicit_at_thr=M.f1_at_threshold(y_bin, p_te, thr),
+        threshold=thr,
+        precision_at_k=M.precision_at_k(y_bin, p_te, int(cfg.get("topk", 100))),
+        recall_at_precision=M.recall_at_precision(
+            y_bin, p_te, float(cfg.get("precision_target", 0.90) or 0.90)
+        ),
+        ece=M.expected_calibration_error(y_bin, p_te),
+        n_test=int(len(y_te)),
+        best_val_pr_auc=best_val,
+    )
+
+    test_ts = timestep_np[test_mask]
+    if test_ts.size > 0:
+        _, pr_by_t = M.per_timestep_pr_auc(y_bin, p_te, test_ts)
+        metrics["test_pr_auc_by_time"] = pr_by_t
+        if pr_by_t:
+            metrics["pr_auc_last1"] = float(pr_by_t[-1])
+            metrics.update(M.tail_means(pr_by_t, ks=(3, 5)))
+    if extra:
+        metrics.update(extra)
+
+    save_json(os.path.join(outdir, "metrics.json"), metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    args = parser.parse_args()
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    main(cfg)
