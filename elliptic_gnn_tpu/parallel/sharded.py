@@ -1,0 +1,145 @@
+"""Multi-chip sharded full-batch training (GSPMD named shardings).
+
+Strategy (SURVEY.md §2.3, BASELINE.json north_star): edge-partitioned graph
+sharding —
+  - node rows (features, labels, masks, ELL destination-row tables) are
+    sharded across the `nodes` mesh axis; because nodes are ordered by
+    timestep and all Elliptic edges are intra-timestep, contiguous row
+    shards give a near-zero edge cut;
+  - dense-layer parameters are replicated; gradient reduction and global
+    BatchNorm statistics ride XLA `psum` collectives over ICI;
+  - neighbor-feature exchange: the ELL gathers read source rows that may
+    live on other chips; under GSPMD the compiler materializes the needed
+    all-gather automatically. (An explicit shard_map + halo-exchange path
+    is the planned optimization for large meshes.)
+
+This module prepares sharded device arrays; the jitted step functions in
+train/train_gnn.py work unchanged — XLA propagates shardings and inserts
+collectives (jit is the multi-chip programming model; no NCCL analogue
+needed).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels.ell import EllGraph
+from .mesh import NODE_AXIS
+
+
+def pad_to_multiple(arr: np.ndarray, m: int, axis: int = 0, fill=0) -> np.ndarray:
+    n = arr.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def shard_ell_graph(g: EllGraph, mesh: Mesh) -> EllGraph:
+    """Shard destination-row tables across the node axis (leading dim);
+    pads each bucket's row count to the mesh size."""
+    n_dev = mesh.devices.size
+    row_sh = NamedSharding(mesh, P(NODE_AXIS))
+
+    def put_rows(a):
+        a = pad_to_multiple(np.asarray(a), n_dev, axis=0)
+        return jax.device_put(jnp.asarray(a), row_sh)
+
+    nbrs, weights, rows, scales = [], [], [], []
+    for nbr, w, r, s in zip(g.nbrs, g.weights, g.rows, g.row_scale):
+        nbrs.append(put_rows(nbr))
+        weights.append(put_rows(w))
+        # padded rows point at node 0 with zero weight -> contribute nothing,
+        # and are never referenced by inv_perm
+        rows.append(put_rows(r))
+        scales.append(put_rows(s))
+
+    # inv_perm indexes into the *concatenated* permuted output; padding rows
+    # shift bucket offsets, so remap old positions to padded positions.
+    old_sizes = [int(np.asarray(n).shape[0]) for n in g.nbrs]
+    new_sizes = [int(np.asarray(n).shape[0]) for n in nbrs]
+    zero_block_old = g.n_zero_deg
+    zero_block_new = ((-zero_block_old) % n_dev) + zero_block_old if zero_block_old else 0
+
+    old_offsets = np.cumsum([0] + old_sizes)
+    new_offsets = np.cumsum([0] + new_sizes)
+    inv = np.asarray(g.inv_perm).astype(np.int64)
+    remapped = np.empty_like(inv)
+    for b in range(len(old_sizes)):
+        sel = (inv >= old_offsets[b]) & (inv < old_offsets[b + 1])
+        remapped[sel] = inv[sel] - old_offsets[b] + new_offsets[b]
+    sel = inv >= old_offsets[-1]  # zero-degree block
+    remapped[sel] = inv[sel] - old_offsets[-1] + new_offsets[-1]
+
+    inv_perm = jax.device_put(
+        jnp.asarray(pad_to_multiple(remapped.astype(np.int32), n_dev)), row_sh
+    )
+
+    return EllGraph(
+        nbrs=tuple(nbrs),
+        weights=tuple(weights),
+        rows=tuple(rows),
+        inv_perm=inv_perm,
+        row_scale=tuple(scales),
+        num_nodes=g.num_nodes,
+        widths=g.widths,
+        n_zero_deg=zero_block_new,
+    )
+
+
+def shard_graph_inputs(mesh: Mesh, data, gops: EllGraph) -> Tuple:
+    """Place node arrays and ELL tables on the mesh, rows sharded.
+
+    Returns (x, y, timestep, train_mask_f, gops, n_padded). Node arrays are
+    padded to a multiple of the mesh size; padded rows are unlabeled
+    (mask 0) and edge-free, so results are bitwise-identical to 1 chip.
+    """
+    n_dev = mesh.devices.size
+    row_sh = NamedSharding(mesh, P(NODE_AXIS))
+    row2_sh = NamedSharding(mesh, P(NODE_AXIS, None))
+
+    n0 = data.num_nodes
+    x = pad_to_multiple(data.x, n_dev)
+    y = pad_to_multiple(np.maximum(data.y, 0).astype(np.int32), n_dev)
+    ts = pad_to_multiple(data.timestep.astype(np.int32), n_dev, fill=1)
+    tm = pad_to_multiple(data.train_mask.astype(np.float32), n_dev)
+
+    x_d = jax.device_put(jnp.asarray(x), row2_sh)
+    y_d = jax.device_put(jnp.asarray(y), row_sh)
+    ts_d = jax.device_put(jnp.asarray(ts), row_sh)
+    tm_d = jax.device_put(jnp.asarray(tm), row_sh)
+
+    # NB: inv_perm gather output must cover padded node count; extend it by
+    # pointing padded nodes at the zero block (position n_zero start).
+    gops_sh = shard_ell_graph(_extend_for_padding(gops, x.shape[0]), mesh)
+    return x_d, y_d, ts_d, tm_d, gops_sh, x.shape[0] - n0
+
+
+def _extend_for_padding(g: EllGraph, n_padded: int) -> EllGraph:
+    """Grow the node count to n_padded: padded nodes are zero-degree."""
+    extra = n_padded - g.num_nodes
+    if extra <= 0:
+        return g
+    total_rows = sum(int(np.asarray(n).shape[0]) for n in g.nbrs)
+    # new zero-degree positions appended at the end of the zero block
+    inv = np.asarray(g.inv_perm)
+    new_positions = np.arange(
+        total_rows + g.n_zero_deg, total_rows + g.n_zero_deg + extra, dtype=np.int32
+    )
+    inv_new = np.concatenate([inv, new_positions])
+    return EllGraph(
+        nbrs=g.nbrs,
+        weights=g.weights,
+        rows=g.rows,
+        inv_perm=jnp.asarray(inv_new),
+        row_scale=g.row_scale,
+        num_nodes=n_padded,
+        widths=g.widths,
+        n_zero_deg=g.n_zero_deg + extra,
+    )

@@ -1,0 +1,213 @@
+"""Analysis-tool integration tests: each tool runs on real run dirs produced
+by the trainer and emits the reference's artifact names."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from elliptic_gnn_tpu.graph import build_graph
+from elliptic_gnn_tpu.train import train_gnn, train_baselines
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("analysis")
+    processed = str(root / "processed")
+    build_graph.main({
+        "seed": 3, "t_train_end": 10, "t_val_end": 13, "t_max": 16,
+        "synthetic": True, "synthetic_nodes": 2500,
+        "processed_dir": processed, "data_dir": str(root / "raw"),
+    })
+    out_root = str(root / "outputs")
+    base = {
+        "seed": 3, "processed_dir": processed, "output_root": out_root,
+        "arch": "sage", "hidden_dim": 32, "layers": 2, "dropout": 0.1,
+        "lr": 0.01, "weight_decay": 1e-4, "max_epochs": 15, "patience": 15,
+        "grad_clip": 1.0, "topk": 50, "calibrate_temperature": True,
+    }
+    train_gnn.main(dict(base, run_name="runA"))
+    train_gnn.main(dict(base, run_name="runB", seed=4, hidden_dim=24))
+    return {
+        "processed": processed,
+        "out_root": out_root,
+        "runA": os.path.join(out_root, "gnn", "runA"),
+        "runB": os.path.join(out_root, "gnn", "runB"),
+    }
+
+
+def _run_cli(module_main, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        module_main()
+    finally:
+        sys.argv = old
+
+
+def test_eval_by_time(env):
+    from elliptic_gnn_tpu.analysis import eval_by_time
+
+    eval_by_time.main(env["runA"])
+    assert os.path.exists(os.path.join(env["runA"], "by_time.csv"))
+    assert os.path.exists(os.path.join(env["runA"], "by_time_pr_auc.png"))
+    with open(os.path.join(env["runA"], "by_time.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("timestep,")
+    assert len(lines) > 1
+
+
+def test_calibration_plots(env):
+    from elliptic_gnn_tpu.analysis import calibration_plots
+
+    calibration_plots.main(env["runA"])
+    assert os.path.exists(os.path.join(env["runA"], "calibration_curve.png"))
+
+
+def test_workload_curves(env):
+    from elliptic_gnn_tpu.analysis import workload_curves
+
+    workload_curves.main(env["runA"], k_max=200)
+    csv_path = os.path.join(env["runA"], "workload_curve.csv")
+    assert os.path.exists(csv_path)
+    assert os.path.exists(os.path.join(env["runA"], "workload_curve.png"))
+
+
+def test_bootstrap_compare(env):
+    from elliptic_gnn_tpu.analysis import bootstrap_compare
+
+    _run_cli(bootstrap_compare.main, [
+        "x", "--run_a", env["runA"], "--run_b", env["runB"],
+        "--n_boot", "50", "--topk", "20",
+    ])
+    with open(os.path.join(env["runB"], "bootstrap_compare.json")) as f:
+        res = json.load(f)
+    assert "delta_pr_auc" in res and "ci_low" in res["delta_pr_auc"]
+    assert os.path.exists(
+        os.path.join(env["runA"], "bootstrap_compare_runB.json")
+    )
+
+
+def test_hub_ablation_standalone(env):
+    from elliptic_gnn_tpu.analysis import hub_ablation
+
+    _run_cli(hub_ablation.main, [
+        "x", "--run_dir", env["runA"], "--frac", "0.02",
+        "--processed_dir", env["processed"],
+    ])
+    path = os.path.join(env["runA"], "metrics_hub_removed_0p02.json")
+    with open(path) as f:
+        res = json.load(f)
+    assert res["hub_fraction"] == 0.02
+    assert res["n_edges_remaining"] >= 0
+
+
+def test_robustness(env):
+    from elliptic_gnn_tpu.analysis import robustness
+
+    _run_cli(robustness.main, [
+        "x", "--run_dir", env["runA"], "--drop_frac", "0.2",
+        "--noise_std", "0.1", "--processed_dir", env["processed"],
+    ])
+    path = os.path.join(env["runA"], "robustness_drop0.2_noise0.1.json")
+    with open(path) as f:
+        res = json.load(f)
+    assert res["n_edges_remaining"] < res["n_edges_original"]
+    assert 0 <= res["pr_auc_illicit"] <= 1
+
+
+def test_ensemble(env):
+    from elliptic_gnn_tpu.analysis import evaluate_ensemble
+
+    out = os.path.join(env["out_root"], "gnn", "ens_ab")
+    _run_cli(evaluate_ensemble.main, [
+        "x", "--run_a", env["runA"], "--run_b", env["runB"],
+        "--out_dir", out, "--mode", "logit", "--topk", "20",
+    ])
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert "pr_auc_illicit" in m and m["ensemble_mode"] == "logit"
+    for a in ("scores_test.npy", "y_test.npy", "node_idx_test.npy"):
+        assert os.path.exists(os.path.join(out, a))
+
+
+def test_explain_gnn(env):
+    from elliptic_gnn_tpu.analysis import explain
+
+    # speed: few optimization steps
+    explain.run_gnn(env["runA"], steps=20)
+    with open(os.path.join(env["runA"], "gnn_explainer_importance.json")) as f:
+        res = json.load(f)
+    assert "top_edges" in res and "top_features" in res
+    pngs = [p for p in os.listdir(env["runA"]) if p.startswith("gnn_explainer_node_")]
+    assert pngs
+
+
+def test_eda(env, capsys):
+    from elliptic_gnn_tpu.analysis import eda
+
+    out_dir = os.path.join(env["out_root"], "eda")
+    _run_cli(eda.main, [
+        "x", "--processed_dir", env["processed"], "--out_dir", out_dir,
+        "--assert_no_cross_time_edges",
+    ])
+    assert os.path.exists(os.path.join(out_dir, "degree_hist.csv"))
+    assert os.path.exists(os.path.join(out_dir, "labels_by_time.csv"))
+    assert "no cross-timestep edges" in capsys.readouterr().out
+
+
+def test_baselines_lr_and_gbdt(env):
+    cfg = {
+        "run_name": "lr_t", "seed": 0, "processed_dir": env["processed"],
+        "output_root": env["out_root"], "model": "logistic_regression",
+        "calibration": "isotonic", "C": 1.0, "max_iter": 500,
+        "class_weight": "balanced", "topk": 50,
+    }
+    m = train_baselines.main(cfg)
+    assert m["engine"] == "sklearn_logreg"
+    assert 0 <= m["pr_auc_illicit"] <= 1
+    rd = os.path.join(env["out_root"], "baselines", "lr_t")
+    assert os.path.exists(os.path.join(rd, "model.pkl"))
+    assert os.path.exists(os.path.join(rd, "scores_test.npy"))
+
+    cfg2 = dict(cfg, run_name="xgb_t", model="xgboost", n_estimators=50,
+                calibration="platt")
+    m2 = train_baselines.main(cfg2)
+    assert m2["engine"] in ("xgboost", "sklearn_histgb")
+    assert 0 <= m2["pr_auc_illicit"] <= 1
+
+
+def test_explain_xgb(env):
+    from elliptic_gnn_tpu.analysis import explain
+
+    rd = os.path.join(env["out_root"], "baselines", "lr_t")
+    explain.run_xgb(rd, env["processed"], n_samples=100)
+    with open(os.path.join(rd, "xgb_top_features.json")) as f:
+        res = json.load(f)
+    assert len(res["top_features"]) > 0
+    assert os.path.exists(os.path.join(rd, "shap_summary.png"))
+
+
+def test_sweep_gnn(env, monkeypatch, tmp_path):
+    from elliptic_gnn_tpu.sweeps import sweep_gnn
+
+    monkeypatch.chdir(tmp_path)
+    base = {
+        "seed": 3, "processed_dir": env["processed"],
+        "arch": "sage", "hidden_dim": 16, "layers": 2, "dropout": 0.1,
+        "lr": 0.01, "weight_decay": 1e-4, "max_epochs": 3, "patience": 3,
+        "topk": 20, "calibrate_temperature": False,
+    }
+    grid = {"hidden_dim": [16, 24], "lr": [0.01]}
+    out_root = str(tmp_path / "outputs")
+    rows = sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
+                               output_root=out_root)
+    assert len(rows) == 2
+    assert os.path.exists(os.path.join(out_root, "sweeps", "leaderboard.tsv"))
+    best = os.path.join(out_root, "gnn", "best")
+    assert os.path.islink(best) or os.path.exists(os.path.join(best, "POINTER.txt"))
+    # resume: second invocation skips everything
+    rows2 = sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
+                                output_root=out_root)
+    assert all(r["dt_seconds"] == 0.0 for r in rows2)

@@ -1,0 +1,118 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh:
+1-device vs 8-device sharded steps must agree numerically (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
+from elliptic_gnn_tpu.graph.transform import symmetrize_edges
+from elliptic_gnn_tpu.models import build_model, prepare_graph_ops
+from elliptic_gnn_tpu.models.losses import class_weights, make_loss_fn
+from elliptic_gnn_tpu.parallel import make_mesh, shard_graph_inputs
+from elliptic_gnn_tpu.parallel.mesh import replicated
+from elliptic_gnn_tpu.train.train_gnn import make_optimizer
+
+CFG = {
+    "arch": "sage_resbn",
+    "hidden_dim": 32,
+    "layers": 3,
+    "dropout": 0.0,  # deterministic for the equivalence check
+    "lr": 1e-3,
+    "weight_decay": 1e-4,
+    "grad_clip": 1.0,
+    "time_embed_dim": 2,
+    "time_embed_type": "sin",
+    "max_timestep": 12,
+}
+
+
+def _setup(num_nodes=600):
+    data = synthetic.generate(num_nodes=num_nodes, num_timesteps=12, seed=1)
+    data = make_temporal_masks(data, t_train_end=8, t_val_end=10)
+    data = symmetrize_edges(data)
+    gops = prepare_graph_ops(data.edge_index, data.num_nodes, "sage")
+    model = build_model("sage_resbn", data.num_features, CFG)
+    params, state = model.init(jax.random.key(0))
+    cw = class_weights(data.y[data.train_mask])
+    t_tr = data.timestep[data.train_mask]
+    loss_fn = make_loss_fn(CFG, cw, int(t_tr.min()), int(t_tr.max()))
+    tx = make_optimizer(CFG)
+    return data, gops, model, params, state, loss_fn, tx
+
+
+def _step_fn(model, tx, loss_fn, x, y, ts, tmask, gops):
+    @jax.jit
+    def step(params, state, opt_state):
+        def lf(p):
+            logits, new_state = model.apply(
+                p, state, x, gops, ts, training=True, rng=None
+            )
+            return loss_fn(p, logits, y, None, tmask), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, loss
+
+    return step
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    data, gops, model, params, state, loss_fn, tx = _setup()
+    opt_state = tx.init(params)
+
+    # single-device reference
+    x1 = jnp.asarray(data.x)
+    y1 = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
+    ts1 = jnp.asarray(data.timestep.astype(np.int32))
+    tm1 = jnp.asarray(data.train_mask.astype(np.float32))
+    step1 = _step_fn(model, tx, loss_fn, x1, y1, ts1, tm1, gops)
+    p1, s1, loss1 = step1(params, state, opt_state)
+
+    # 8-device sharded
+    mesh = make_mesh(8)
+    x8, y8, ts8, tm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
+    rep = replicated(mesh)
+    params8 = jax.device_put(params, rep)
+    state8 = jax.device_put(state, rep)
+    opt8 = jax.device_put(tx.init(params), rep)
+    step8 = _step_fn(model, tx, loss_fn, x8, y8, ts8, tm8, gops8)
+    p8, s8, loss8 = step8(params8, state8, opt8)
+
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    # BatchNorm running stats (psum'd batch statistics) must also agree
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_matches_single_device():
+    data, gops, model, params, state, loss_fn, tx = _setup()
+    x1 = jnp.asarray(data.x)
+    ts1 = jnp.asarray(data.timestep.astype(np.int32))
+    logits1, _ = jax.jit(
+        lambda p, s: model.apply(p, s, x1, gops, ts1, training=False)
+    )(params, state)
+
+    mesh = make_mesh(8)
+    x8, y8, ts8, tm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
+    rep = replicated(mesh)
+    logits8, _ = jax.jit(
+        lambda p, s: model.apply(p, s, x8, gops8, ts8, training=False)
+    )(jax.device_put(params, rep), jax.device_put(state, rep))
+
+    n = data.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(logits1), np.asarray(logits8)[:n], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_dryrun_multichip_smoke():
+    import __graft_entry__ as ge
+
+    n = min(len(jax.devices()), 8)
+    ge.dryrun_multichip(n)
