@@ -38,6 +38,10 @@ class GraphData:
     train_mask: Optional[np.ndarray] = None
     val_mask: Optional[np.ndarray] = None
     test_mask: Optional[np.ndarray] = None
+    # After an in-memory renumbering (kernels.ell.renumber_for_ell),
+    # orig_index[i] is row i's node id in the on-disk graph; artifacts
+    # (node_idx_*.npy) always report original ids. None = identity.
+    orig_index: Optional[np.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -64,6 +68,31 @@ class GraphData:
         for m in (self.train_mask, self.val_mask, self.test_mask):
             if m is not None:
                 assert m.shape == (n,) and m.dtype == np.bool_
+        if self.orig_index is not None:
+            assert self.orig_index.shape == (n,)
+
+    def renumber(self, rank: np.ndarray) -> "GraphData":
+        """Relabel nodes: new id = rank[old id]. Per-node arrays are
+        permuted, edge endpoints remapped, and orig_index tracks the way
+        back to on-disk ids."""
+        perm = np.argsort(rank)  # perm[new_id] = old_id
+        prev_orig = self.orig_index if self.orig_index is not None else np.arange(
+            self.num_nodes, dtype=np.int64
+        )
+
+        def take(a):
+            return None if a is None else a[perm]
+
+        return self.replace(
+            x=self.x[perm],
+            y=self.y[perm],
+            timestep=self.timestep[perm],
+            edge_index=rank[self.edge_index].astype(self.edge_index.dtype),
+            train_mask=take(self.train_mask),
+            val_mask=take(self.val_mask),
+            test_mask=take(self.test_mask),
+            orig_index=prev_orig[perm],
+        )
 
     def meta(self) -> Dict:
         y = self.y

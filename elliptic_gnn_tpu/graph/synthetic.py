@@ -65,20 +65,60 @@ def generate(
     drift = 0.15 * (timestep.astype(np.float32) - 1) / max(t_max - 1, 1)
     x += drift[:, None] * rng.standard_normal((1, f)).astype(np.float32)
 
-    # intra-timestep edges with preferential attachment per timestep block
+    # Intra-timestep edges mirroring the real Elliptic topology: the
+    # transaction graph decomposes into many small connected components
+    # (payment chains and fan-out trees, mostly 2-20 nodes) plus occasional
+    # large components with hub transactions of bounded degree (low
+    # hundreds) — NOT scale-free mega-hubs.
     srcs, dsts = [], []
     start = 0
     for sz in sizes:
-        block = np.arange(start, start + sz)
-        m = int(round(avg_degree * sz))
-        if m > 0 and sz >= 2:
-            # heavy-tailed endpoint selection: mix uniform + rank-biased
-            a = rng.integers(0, sz, size=m)
-            ranks = (rng.pareto(2.0, size=m) % sz).astype(np.int64)
-            b = np.minimum(ranks, sz - 1)
-            keep = a != b
-            srcs.append(block[a[keep]])
-            dsts.append(block[b[keep]])
+        target_edges = int(round(avg_degree * sz))
+        made = 0
+        pos = 0
+        while made < target_edges and pos < sz - 1:
+            # component size: heavy-tailed but bounded
+            u = rng.random()
+            if u < 0.70:
+                csz = int(rng.integers(2, 8))
+            elif u < 0.95:
+                csz = int(rng.integers(8, 40))
+            else:
+                csz = int(rng.integers(40, 400))
+            csz = min(csz, sz - pos)
+            if csz < 2:
+                break
+            comp = np.arange(start + pos, start + pos + csz)
+            if csz >= 40 and rng.random() < 0.5:
+                # hub component: one high-degree transaction fanning out
+                # (real Elliptic has hubs with degree in the low hundreds)
+                parents = np.zeros(csz - 1, dtype=np.int64)
+                deep = rng.random(csz - 1) < 0.3  # some second-level chains
+                parents[deep] = rng.integers(1, max(csz - 1, 2), int(deep.sum()))
+                parents = np.minimum(parents, np.arange(1, csz) - 1)
+                parents = np.maximum(parents, 0)
+            else:
+                # chain/fan-out tree: parent drawn from a recent window to
+                # mimic payment flows
+                parents = np.maximum(
+                    0,
+                    np.arange(1, csz)
+                    - 1
+                    - rng.geometric(p=0.35, size=csz - 1).astype(np.int64) + 1,
+                )
+            srcs.append(comp[parents])
+            dsts.append(comp[1:])
+            made += csz - 1
+            # a few extra intra-component edges (cycles)
+            extra = int(0.1 * csz)
+            if extra and csz > 2:
+                a = rng.integers(0, csz, extra)
+                b = rng.integers(0, csz, extra)
+                keep = a != b
+                srcs.append(comp[a[keep]])
+                dsts.append(comp[b[keep]])
+                made += int(keep.sum())
+            pos += csz
         start += sz
     if srcs:
         edge_index = np.stack(

@@ -6,3 +6,19 @@ from .segment import (  # noqa: F401
     spmm_edge_list,
 )
 from .ell import EllGraph, build_ell_graph, ell_spmm, ell_gat_aggregate  # noqa: F401
+
+
+def spmm(g, x, compute_dtype=None):
+    """Aggregation dispatch by encoding type:
+      BsdaGraph        -> MXU batched dense chunk matmuls (primary path)
+      PallasSpmmGraph  -> Pallas block-diagonal kernel
+      EllGraph         -> pure-XLA gather ELL (fallback/oracle)
+    """
+    from .bsda import BsdaGraph, bsda_spmm
+    from .pallas_spmm import PallasSpmmGraph, pallas_spmm_apply
+
+    if isinstance(g, BsdaGraph):
+        return bsda_spmm(g, x, compute_dtype=compute_dtype)
+    if isinstance(g, PallasSpmmGraph):
+        return pallas_spmm_apply(g, x, compute_dtype=compute_dtype)
+    return ell_spmm(g, x, compute_dtype=compute_dtype)

@@ -1,0 +1,370 @@
+"""Pallas TPU SpMM kernel over a block-diagonal ELL encoding.
+
+The Elliptic graph is strictly intra-timestep (dataset_elliptic.py:236-243),
+so with nodes sorted by timestep the adjacency is block-diagonal with ~49
+blocks of a few thousand nodes — each block's source features fit in VMEM.
+This kernel exploits that:
+
+  grid step = one node block:
+    1. DMA the block's source-feature window  x[start : start+NB, :]  from
+       HBM into VMEM (contiguous, full-bandwidth — unlike XLA's row-by-row
+       HBM gather, which is the current bottleneck at ~110 GB/s);
+    2. for each of W neighbor slots: a *VMEM-local* row gather
+       x_vmem[nbr_local[:, s]] and a weighted accumulate on the VPU;
+    3. masked store of the block's rows to the output window.
+
+  Mean aggregation is folded into the edge weights (w_e = 1/deg(dst)), so
+  rows whose degree exceeds the slot width W spill into a small "overflow"
+  ELL processed by the XLA path and *added* — weighted sums compose.
+
+  Backward: dL/dx = SpMM with the transposed block-ELL (same structure,
+  edges reversed — still intra-block), wired via jax.custom_vjp.
+
+Replaces torch_scatter/pyg_lib's CUDA segment kernels (reference
+models/gnn.py:8) on the TPU compute path. Falls back to kernels/ell.py
+(pure-XLA) off-TPU or when the graph lacks block structure.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ell import EllGraph, build_csr
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["nbr", "w", "starts", "sizes", "overflow"],
+    meta_fields=["num_nodes", "nb", "width", "num_blocks", "n_pad", "orig_nodes"],
+)
+@dataclasses.dataclass
+class BlockEll:
+    """Block-diagonal fixed-width ELL.
+
+    nbr:     [num_blocks, NB, W] int32 — block-local source row offsets
+    w:       [num_blocks, NB, W] f32 — edge weights (0 = padding)
+    starts:  [num_blocks] int32 — first node id of each block
+    sizes:   [num_blocks] int32 — actual rows in each block (<= NB)
+    overflow: EllGraph or None — spill edges for rows with deg > W
+    num_nodes: padded node count (covers the last block window);
+    orig_nodes: the real node count; n_pad = num_nodes - orig_nodes
+    """
+
+    nbr: jnp.ndarray
+    w: jnp.ndarray
+    starts: jnp.ndarray
+    sizes: jnp.ndarray
+    overflow: Optional[EllGraph]
+    num_nodes: int
+    nb: int
+    width: int
+    num_blocks: int
+    n_pad: int
+    orig_nodes: int
+
+
+def build_block_ell(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    block_ids: np.ndarray,
+    edge_weights: Optional[np.ndarray] = None,
+    mean: bool = False,
+    width: int = 8,
+) -> BlockEll:
+    """Pack a block-diagonal graph (nodes sorted by block_ids; every edge
+    intra-block) into the kernel format.
+
+    block_ids: [N] non-decreasing block id per node (e.g. timestep).
+    """
+    src = np.asarray(edge_index[0], np.int64)
+    dst = np.asarray(edge_index[1], np.int64)
+    assert (np.diff(block_ids) >= 0).all(), "nodes must be sorted by block id"
+    assert (block_ids[src] == block_ids[dst]).all(), "edges must be intra-block"
+
+    e = src.size
+    w_all = (
+        np.ones(e, np.float32)
+        if edge_weights is None
+        else np.asarray(edge_weights, np.float32)
+    )
+    deg = np.bincount(dst, minlength=num_nodes)
+    if mean:
+        w_all = w_all / np.maximum(deg[dst], 1).astype(np.float32)
+
+    # block boundaries from the node ordering
+    uniq, first = np.unique(block_ids, return_index=True)
+    starts = first.astype(np.int64)
+    ends = np.r_[starts[1:], num_nodes]
+    sizes = (ends - starts).astype(np.int64)
+    nb = int(1 << int(np.ceil(np.log2(max(int(sizes.max()), 8)))))
+
+    indptr, col, order = build_csr(src, dst, num_nodes)
+    w_csr = w_all[order]
+
+    num_blocks = starts.size
+    nbr = np.zeros((num_blocks, nb, width), np.int32)
+    wgt = np.zeros((num_blocks, nb, width), np.float32)
+
+    ov_src, ov_dst, ov_w = [], [], []
+    slot_cap = np.minimum(deg, width)
+    for b in range(num_blocks):
+        lo_n, hi_n = starts[b], ends[b]
+        rows = np.arange(lo_n, hi_n)
+        d_rows = deg[lo_n:hi_n]
+        cap = slot_cap[lo_n:hi_n]
+        total = int(cap.sum())
+        if total:
+            seg_starts = np.repeat(indptr[rows], cap)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(np.r_[0, cap[:-1]]), cap
+            )
+            src_pos = seg_starts + within
+            row_pos = np.repeat(rows - lo_n, cap)
+            nbr[b, row_pos, within] = (col[src_pos] - lo_n).astype(np.int32)
+            wgt[b, row_pos, within] = w_csr[src_pos]
+        # overflow: slots beyond `width`
+        heavy = np.where(d_rows > width)[0]
+        for r in heavy:
+            lo_e = indptr[lo_n + r] + width
+            hi_e = indptr[lo_n + r + 1]
+            ov_src.append(col[lo_e:hi_e])
+            ov_dst.append(np.full(hi_e - lo_e, lo_n + r, np.int64))
+            ov_w.append(w_csr[lo_e:hi_e])
+
+    overflow = None
+    if ov_src:
+        from .ell import build_ell_graph
+
+        o_ei = np.stack([np.concatenate(ov_src), np.concatenate(ov_dst)])
+        overflow = build_ell_graph(
+            o_ei.astype(np.int64), num_nodes,
+            edge_weights=np.concatenate(ov_w), mean=False,
+        )
+
+    # pad so every block's fixed [start, start+nb) window stays in range
+    n_padded = max(num_nodes, int(starts[-1]) + nb)
+    n_padded = ((n_padded + 7) // 8) * 8
+    return BlockEll(
+        nbr=jnp.asarray(nbr),
+        w=jnp.asarray(wgt),
+        starts=jnp.asarray(starts.astype(np.int32)),
+        sizes=jnp.asarray(sizes.astype(np.int32)),
+        overflow=overflow,
+        num_nodes=n_padded,
+        nb=nb,
+        width=width,
+        num_blocks=num_blocks,
+        n_pad=n_padded - num_nodes,
+        orig_nodes=num_nodes,
+    )
+
+
+def transpose_block_ell(edge_index: np.ndarray, num_nodes: int,
+                        block_ids: np.ndarray,
+                        edge_weights: Optional[np.ndarray] = None,
+                        mean: bool = False, width: int = 8) -> BlockEll:
+    """BlockEll of A^T with the same per-edge weights A used (for the VJP:
+    d/dx of sum-over-dst equals aggregation of cotangents over reversed
+    edges with identical weights)."""
+    src = np.asarray(edge_index[0], np.int64)
+    dst = np.asarray(edge_index[1], np.int64)
+    w_all = (
+        np.ones(src.size, np.float32)
+        if edge_weights is None
+        else np.asarray(edge_weights, np.float32)
+    )
+    if mean:
+        deg = np.bincount(dst, minlength=num_nodes)
+        w_all = w_all / np.maximum(deg[dst], 1).astype(np.float32)
+    rev = np.stack([dst, src])
+    return build_block_ell(
+        rev, num_nodes, block_ids, edge_weights=w_all, mean=False, width=width
+    )
+
+
+# ---------------------------------------------------------------- kernel ----
+
+FEAT_TILE = 128
+# interpret mode off-TPU so numerics are testable on the CPU mesh
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _spmm_forward(g: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
+    n, feat = x.shape
+    assert n == g.num_nodes, (n, g.num_nodes)
+    assert feat % FEAT_TILE == 0, "caller pads features to a 128 multiple"
+    n_ft = feat // FEAT_TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # starts, sizes
+        grid=(g.num_blocks, n_ft),  # feature tiles innermost
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(
+                (1, g.nb, g.width), lambda b, ft, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g.nb, g.width), lambda b, ft, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((g.nb, FEAT_TILE), x.dtype),
+            pltpu.VMEM((g.nb, FEAT_TILE), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    def kernel(starts_ref, sizes_ref, x_hbm, nbr_ref, w_ref, out_ref,
+               x_vmem, acc_ref, sem_in, sem_out):
+        b = pl.program_id(0)
+        ft = pl.program_id(1)
+        start = starts_ref[b]
+        f0 = ft * FEAT_TILE
+
+        dma_in = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, g.nb), pl.ds(f0, FEAT_TILE)], x_vmem, sem_in
+        )
+        dma_in.start()
+        dma_in.wait()
+
+        nbr = nbr_ref.at[0]
+        w = w_ref.at[0]
+        acc = jnp.zeros((g.nb, FEAT_TILE), jnp.float32)
+        xv = x_vmem[:]
+        for s in range(g.width):
+            # VMEM-local row gather in Mosaic's supported take_along_axis
+            # form: out[i, j] = xv[idx[i], j]  (tpu.dynamic_gather dim 0)
+            idx = jnp.broadcast_to(
+                nbr[:, s][:, None], (g.nb, FEAT_TILE)
+            )
+            gathered = jnp.take_along_axis(xv, idx, axis=0)
+            acc = acc + w[:, s][:, None].astype(jnp.float32) * gathered
+        acc_ref[:] = acc.astype(out_ref.dtype)
+
+        # Ordered overwrite: grid steps are sequential on TPU, so the next
+        # block's store overwrites this window's garbage tail rows; the
+        # final tail is padding sliced off by the wrapper.
+        dma_out = pltpu.make_async_copy(
+            acc_ref, out_ref.at[pl.ds(start, g.nb), pl.ds(f0, FEAT_TILE)],
+            sem_out,
+        )
+        dma_out.start()
+        dma_out.wait()
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, feat), x.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g.num_blocks * g.nb * g.width * feat,
+            bytes_accessed=g.num_blocks * g.nb * feat * 4 * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(g.starts, g.sizes, x, g.nbr, g.w)
+
+    if g.overflow is not None:
+        from .ell import ell_spmm
+
+        ov = ell_spmm(g.overflow, x[: g.overflow.num_nodes])
+        out = out.at[: g.overflow.num_nodes].add(ov)
+    return out
+
+
+def block_ell_spmm(g: BlockEll, g_t: BlockEll, x: jnp.ndarray) -> jnp.ndarray:
+    """out = A_w @ x via the Pallas block kernel; grad flows through A^T.
+
+    The graph tables are closed over (trace-time constants) because
+    custom_vjp static args must be hashable and BlockEll holds arrays.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return _spmm_forward(g, x)
+
+    def f_fwd(x):
+        return _spmm_forward(g, x), None
+
+    def f_bwd(_res, ct):
+        return (_spmm_forward(g_t, ct),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x)
+
+
+def pad_features(x: jnp.ndarray, g: BlockEll) -> jnp.ndarray:
+    """Pad node rows to the kernel's padded count."""
+    if g.n_pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((g.n_pad, x.shape[1]), x.dtype)], axis=0
+    )
+
+
+# ------------------------------------------------------------- dispatch ----
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class PallasSpmmGraph:
+    """Forward + transpose BlockElls, usable wherever an EllGraph is
+    (kernels.spmm dispatches on type)."""
+
+    fwd: BlockEll
+    bwd: BlockEll
+
+    @property
+    def num_nodes(self) -> int:
+        return self.fwd.orig_nodes
+
+
+def build_pallas_spmm_graph(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    block_ids: np.ndarray,
+    edge_weights: Optional[np.ndarray] = None,
+    mean: bool = False,
+    width: int = 8,
+) -> PallasSpmmGraph:
+    fwd = build_block_ell(
+        edge_index, num_nodes, block_ids, edge_weights, mean, width
+    )
+    bwd = transpose_block_ell(
+        edge_index, num_nodes, block_ids, edge_weights, mean, width
+    )
+    return PallasSpmmGraph(fwd=fwd, bwd=bwd)
+
+
+def pallas_spmm_apply(pg: PallasSpmmGraph, x: jnp.ndarray,
+                      compute_dtype=None) -> jnp.ndarray:
+    """Pad rows/features, run the kernel, slice back. compute_dtype casts
+    the gathered operand (bf16 halves DMA traffic; f32 accumulate)."""
+    n0, f0 = x.shape
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    g = pg.fwd
+    pad_f = (-f0) % FEAT_TILE
+    if pad_f:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n0, pad_f), x.dtype)], axis=1
+        )
+    x = pad_features(x, g)
+    out = block_ell_spmm(g, pg.bwd, x)
+    return out[:n0, :f0].astype(out_dtype)

@@ -37,11 +37,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import spmm
 from ..kernels.ell import (
     EllGraph,
     build_ell_graph,
     ell_gat_aggregate,
-    ell_spmm,
     gcn_norm_weights,
 )
 from ..graph.transform import add_self_loops
@@ -68,13 +68,32 @@ MODEL_GRAPH_KIND = {
 }
 
 
-def prepare_graph_ops(edge_index: np.ndarray, num_nodes: int, kind: str) -> EllGraph:
-    """Build the model-specific ELL encoding (host-side, one-time).
+def prepare_graph_ops(edge_index: np.ndarray, num_nodes: int, kind: str,
+                      block_ids: Optional[np.ndarray] = None,
+                      use_pallas: bool = False):
+    """Build the model-specific aggregation encoding (host-side, one-time).
 
     'sage': mean aggregation over the raw (possibly symmetrized) edges.
     'gcn':  self-loops + symmetric-norm edge weights, sum aggregation.
     'gat':  self-loops, unit validity weights (attention computed in-model).
+
+    With use_pallas + block_ids (nodes sorted by a block id, all edges
+    intra-block — the Elliptic timestep structure), SAGE/GCN get the Pallas
+    block-diagonal kernel encoding (kernels/pallas_spmm.py); GAT keeps the
+    ELL path (attention fused there).
     """
+    if use_pallas and block_ids is not None and kind in ("sage", "gcn"):
+        from ..kernels.pallas_spmm import build_pallas_spmm_graph
+
+        if kind == "sage":
+            return build_pallas_spmm_graph(
+                edge_index, num_nodes, block_ids, mean=True
+            )
+        ei = add_self_loops(edge_index, num_nodes)
+        w = gcn_norm_weights(ei, num_nodes)
+        return build_pallas_spmm_graph(
+            ei, num_nodes, block_ids, edge_weights=w, mean=False
+        )
     if kind == "sage":
         return build_ell_graph(edge_index, num_nodes, mean=True)
     if kind == "gcn":
@@ -156,8 +175,8 @@ def gcn_layer_init(key, d_in, d_out) -> Params:
     return {"w": _glorot(kw, (d_in, d_out)), "b": jnp.zeros((d_out,))}
 
 
-def gcn_layer_apply(p, x, g: EllGraph):
-    return ell_spmm(g, x @ p["w"]) + p["b"]
+def gcn_layer_apply(p, x, g: EllGraph, compute_dtype=None):
+    return spmm(g, x @ p["w"], compute_dtype=compute_dtype) + p["b"]
 
 
 def sage_layer_init(key, d_in, d_out) -> Params:
@@ -169,8 +188,8 @@ def sage_layer_init(key, d_in, d_out) -> Params:
     }
 
 
-def sage_layer_apply(p, x, g: EllGraph):
-    agg = ell_spmm(g, x)  # masked mean over incoming neighbors
+def sage_layer_apply(p, x, g: EllGraph, compute_dtype=None):
+    agg = spmm(g, x, compute_dtype=compute_dtype)  # masked mean
     return agg @ p["w_l"] + p["b_l"] + x @ p["w_r"]
 
 
@@ -247,6 +266,10 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
     dropout = float(cfg.get("dropout", 0.2))
     num_classes = 2
     assert layers >= 2
+    # amp: gather-side bf16 with f32 accumulation (see ell_spmm). Off by
+    # default so CPU parity tests stay exact; configs enable it like the
+    # reference enables CUDA AMP (train_gnn.py:291).
+    cdt = jnp.bfloat16 if bool(cfg.get("amp", False)) else None
 
     if arch == "gcn":
         dims = [in_dim] + [hidden] * (layers - 1) + [num_classes]
@@ -260,7 +283,9 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
                 {},
             )
 
-        base = _stack_apply(gcn_layer_apply, jax.nn.relu)
+        base = _stack_apply(
+            lambda p, h, g: gcn_layer_apply(p, h, g, cdt), jax.nn.relu
+        )
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
                   axis_name=None):
@@ -281,7 +306,9 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
                 {},
             )
 
-        base = _stack_apply(sage_layer_apply, jax.nn.relu)
+        base = _stack_apply(
+            lambda p, h, g: sage_layer_apply(p, h, g, cdt), jax.nn.relu
+        )
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
                   axis_name=None):
@@ -382,7 +409,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
             new_bn_states = []
             for li in range(n_layers - 1):
                 h_in = h
-                h = sage_layer_apply(params["layers"][li], h, g)
+                h = sage_layer_apply(params["layers"][li], h, g, cdt)
                 if use_bn:
                     h, bns = bn_apply(
                         params["bns"][li], state["bns"][li], h, training, axis_name
@@ -393,7 +420,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
                 if residual:
                     proj = params["res_projs"][li]
                     h = h + (h_in if proj is None else h_in @ proj["w"])
-            h = sage_layer_apply(params["layers"][-1], h, g)
+            h = sage_layer_apply(params["layers"][-1], h, g, cdt)
             new_state = dict(state)
             if use_bn:
                 new_state["bns"] = new_bn_states

@@ -69,7 +69,11 @@ def shard_ell_graph(g: EllGraph, mesh: Mesh) -> EllGraph:
 
     old_offsets = np.cumsum([0] + old_sizes)
     new_offsets = np.cumsum([0] + new_sizes)
-    inv = np.asarray(g.inv_perm).astype(np.int64)
+    inv = (
+        np.arange(g.num_nodes, dtype=np.int64)
+        if g.inv_perm is None
+        else np.asarray(g.inv_perm).astype(np.int64)
+    )
     remapped = np.empty_like(inv)
     for b in range(len(old_sizes)):
         sel = (inv >= old_offsets[b]) & (inv < old_offsets[b + 1])
@@ -128,7 +132,11 @@ def _extend_for_padding(g: EllGraph, n_padded: int) -> EllGraph:
         return g
     total_rows = sum(int(np.asarray(n).shape[0]) for n in g.nbrs)
     # new zero-degree positions appended at the end of the zero block
-    inv = np.asarray(g.inv_perm)
+    inv = (
+        np.arange(g.num_nodes, dtype=np.int32)
+        if g.inv_perm is None
+        else np.asarray(g.inv_perm)
+    )
     new_positions = np.arange(
         total_rows + g.n_zero_deg, total_rows + g.n_zero_deg + extra, dtype=np.int32
     )

@@ -100,15 +100,76 @@ def prepare_data(cfg: dict):
     return data
 
 
+def _pick_aggregation(cfg: dict, data, kind: str) -> str:
+    """Choose the aggregation encoding:
+      'bsda'         MXU block-sparse dense (primary; sage/gcn, full-batch)
+      'pallas_block' Pallas block-diagonal kernel (intra-timestep graphs;
+                     interpret-mode off-TPU — opt-in)
+      'ell'          pure-XLA gather ELL (always valid)
+    """
+    mode = cfg.get("aggregation", "auto")
+    if cfg.get("use_pallas", False):  # explicit legacy switch
+        mode = "pallas_block"
+    if cfg.get("mini_batch", False) or kind not in ("sage", "gcn"):
+        return "ell"
+    if mode == "auto":
+        return "bsda"
+    if mode == "pallas_block":
+        ts = data.timestep
+        intra = bool((ts[data.edge_index[0]] == ts[data.edge_index[1]]).all())
+        if not intra:
+            print("[PALLAS] cross-block edges; falling back to ELL")
+            return "ell"
+        return "pallas_block"
+    return str(mode)
+
+
 def build_train_state(cfg: dict, data, seed: int):
-    """Construct (model, gops, params, state, tx, opt_state, loss_fn)."""
+    """Construct (data, model, gops, params, state, tx, opt_state, loss_fn).
+
+    Returns the (possibly renumbered) data along with the train state."""
     arch = cfg["arch"]
     if arch not in MODEL_GRAPH_KIND:
         raise ValueError(
             f"Unknown arch {arch!r}; expected one of {sorted(MODEL_GRAPH_KIND)}"
         )
     kind = MODEL_GRAPH_KIND[arch]
-    gops = prepare_graph_ops(data.edge_index, data.num_nodes, kind)
+    agg = _pick_aggregation(cfg, data, kind)
+    if agg == "bsda":
+        # BFS renumbering groups connected neighborhoods into contiguous
+        # MXU chunks; artifacts translate back via data.orig_index.
+        from ..kernels.bsda import bfs_order, build_bsda_for_kind
+
+        rank = bfs_order(data.edge_index, data.num_nodes, data.timestep)
+        data = data.renumber(rank)
+        gops = build_bsda_for_kind(
+            data.edge_index, data.num_nodes, kind,
+            depth=int(cfg.get("bsda_depth", 2)),
+            a_dtype="bfloat16" if cfg.get("amp", False) else "float32",
+        )
+    elif agg == "pallas_block":
+        # Pallas block kernel wants nodes sorted by timestep (block-diagonal
+        # adjacency); output already lands in node order.
+        if not (np.diff(data.timestep) >= 0).all():
+            rank_ts = np.argsort(
+                np.argsort(data.timestep, kind="stable")
+            ).astype(np.int32)
+            data = data.renumber(rank_ts)
+        gops = prepare_graph_ops(
+            data.edge_index, data.num_nodes, kind,
+            block_ids=data.timestep, use_pallas=True,
+        )
+    else:
+        gops = prepare_graph_ops(data.edge_index, data.num_nodes, kind)
+        # Bucket renumbering: relabel nodes so aggregation output lands
+        # directly in node order, skipping the per-layer reorder gather
+        # (~30% of SpMM time at Elliptic scale). Artifacts translate back
+        # via data.orig_index.
+        if bool(cfg.get("renumber", True)) and not cfg.get("mini_batch", False):
+            from ..kernels.ell import renumber_for_ell
+
+            gops, rank = renumber_for_ell(gops)
+            data = data.renumber(rank)
     model = build_model(arch, data.num_features, cfg)
     params, state = model.init(jax.random.key(seed))
     tx = make_optimizer(cfg)
@@ -121,7 +182,7 @@ def build_train_state(cfg: dict, data, seed: int):
     t_train = data.timestep[data.train_mask]
     t_min, t_max = int(t_train.min()), int(t_train.max())
     loss_fn = make_loss_fn(cfg, cw, t_min, t_max)
-    return model, gops, params, state, tx, opt_state, loss_fn
+    return data, model, gops, params, state, tx, opt_state, loss_fn
 
 
 def main(cfg: dict) -> dict:
@@ -132,7 +193,7 @@ def main(cfg: dict) -> dict:
     log_device_info()
 
     data = prepare_data(cfg)
-    model, gops, params, state, tx, opt_state, loss_fn = build_train_state(
+    data, model, gops, params, state, tx, opt_state, loss_fn = build_train_state(
         cfg, data, cfg.get("seed", 42)
     )
 
@@ -166,8 +227,11 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     t_idx_arg = t_all if model.uses_time_embed else None
     use_time_loss = str(cfg.get("time_loss_weighting", "none")) != "none"
 
+    # NB: graph arrays are jit ARGUMENTS, not closure constants — closures
+    # would embed hundreds of MB of tables/features into the compile payload
+    # (pathological for remote-compile setups) and re-upload per retrace.
     @jax.jit
-    def train_step(params, state, opt_state, rng):
+    def train_step(params, state, opt_state, rng, x, gops, t_idx_arg):
         def lf(p):
             logits, new_state = model.apply(
                 p, state, x, gops, t_idx_arg, training=True, rng=rng
@@ -183,7 +247,7 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         return new_params, new_state, new_opt, loss
 
     @jax.jit
-    def eval_val(params, state):
+    def eval_val(params, state, x, gops, t_idx_arg):
         logits, _ = model.apply(params, state, x, gops, t_idx_arg, training=False)
         probs = jax.nn.softmax(logits, axis=1)[:, 1]
         return probs[val_idx]
@@ -212,8 +276,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         if profile_dir and epoch == start_epoch + 3:
             jax.profiler.start_trace(profile_dir)
         rng, step_rng = jax.random.split(rng)
-        params, state, opt_state, loss = train_step(params, state, opt_state, step_rng)
-        p_val = np.asarray(eval_val(params, state))
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, step_rng, x, gops, t_idx_arg
+        )
+        p_val = np.asarray(eval_val(params, state, x, gops, t_idx_arg))
         if profile_dir and epoch == start_epoch + 5:
             jax.profiler.stop_trace()
 
@@ -253,11 +319,11 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
     t_idx_arg = t_all if model.uses_time_embed else None
 
     @jax.jit
-    def eval_full(params, state, gops):
+    def eval_full(params, state, x, gops, t_idx_arg):
         logits, _ = model.apply(params, state, x, gops, t_idx_arg, training=False)
         return logits
 
-    logits_full = np.asarray(eval_full(params, state, gops))
+    logits_full = np.asarray(eval_full(params, state, x, gops, t_idx_arg))
     y_val_bin = (data.y[data.val_mask] == 1).astype(int)
 
     temp = 1.0
@@ -329,13 +395,20 @@ def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
     y_val, p_val = y_np[val_mask], probs[val_mask]
     y_te, p_te = y_np[test_mask], probs[test_mask]
 
+    # node indices reported in ON-DISK numbering even if training ran on a
+    # renumbered graph (GraphData.renumber)
+    orig = (
+        data.orig_index
+        if data.orig_index is not None
+        else np.arange(len(y_np), dtype=np.int64)
+    )
     np.save(os.path.join(outdir, "scores_val.npy"), p_val)
     np.save(os.path.join(outdir, "y_val.npy"), y_val)
-    np.save(os.path.join(outdir, "node_idx_val.npy"), np.where(val_mask)[0])
+    np.save(os.path.join(outdir, "node_idx_val.npy"), orig[val_mask])
     np.save(os.path.join(outdir, "timestep_val.npy"), timestep_np[val_mask])
     np.save(os.path.join(outdir, "scores_test.npy"), p_te)
     np.save(os.path.join(outdir, "y_test.npy"), y_te)
-    np.save(os.path.join(outdir, "node_idx_test.npy"), np.where(test_mask)[0])
+    np.save(os.path.join(outdir, "node_idx_test.npy"), orig[test_mask])
     np.save(os.path.join(outdir, "timestep_test.npy"), timestep_np[test_mask])
 
     # threshold selection (train_gnn.py:466-474)

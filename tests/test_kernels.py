@@ -166,3 +166,36 @@ def test_ell_handles_hub_degrees():
     out = np.asarray(ell_spmm(g, x))
     np.testing.assert_allclose(out[0], 1.0, rtol=1e-6)  # mean of ones
     assert np.abs(out[1:]).max() == 0.0
+
+
+def test_renumber_for_ell_equivalence():
+    """Aggregation on a renumbered graph equals the permutation of the
+    original aggregation; inv_perm gather is skipped (None)."""
+    from elliptic_gnn_tpu.kernels.ell import renumber_for_ell
+
+    n, e, f = 80, 300, 6
+    ei = _random_graph(n, e, 21)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    g = build_ell_graph(ei, n, mean=True)
+    out_ref = np.asarray(ell_spmm(g, jnp.asarray(x)))
+
+    g2, rank = renumber_for_ell(g)
+    assert g2.inv_perm is None
+    perm = np.argsort(rank)
+    out2 = np.asarray(ell_spmm(g2, jnp.asarray(x[perm])))
+    # out2[new_id] corresponds to out_ref[old_id = perm[new_id]]
+    np.testing.assert_allclose(out2, out_ref[perm], rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_bf16_compute_dtype():
+    n, e, f = 60, 200, 8
+    ei = _random_graph(n, e, 31)
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    g = build_ell_graph(ei, n, mean=True)
+    out32 = np.asarray(ell_spmm(g, jnp.asarray(x)))
+    out16 = np.asarray(ell_spmm(g, jnp.asarray(x), compute_dtype=jnp.bfloat16))
+    assert out16.dtype == np.float32  # accumulate + output stay f32
+    np.testing.assert_allclose(out16, out32, rtol=2e-2, atol=2e-2)

