@@ -33,7 +33,11 @@ def make_chained_runner(op: Callable, n_iter: int):
             return op(c), None
 
         out, _ = jax.lax.scan(body, x, None, length=n_iter)
-        return out.reshape(-1)[:2]
+        # tiny dependent output as a completion fence (works for pytrees)
+        leaves = jax.tree_util.tree_leaves(out)
+        return jnp.concatenate(
+            [l.reshape(-1)[:1].astype(jnp.float32) for l in leaves[:4]]
+        )
 
     return run
 

@@ -61,13 +61,11 @@ def looks_like_timestep(col: np.ndarray, t_max: int = 49) -> bool:
 
 
 def _vectorized_tx_to_idx(tx_ids: np.ndarray, queries: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Map txIds -> row indices via binary search. Returns (idx, found_mask)."""
-    order = np.argsort(tx_ids, kind="stable")
-    sorted_ids = tx_ids[order]
-    pos = np.searchsorted(sorted_ids, queries)
-    pos = np.clip(pos, 0, sorted_ids.size - 1)
-    found = sorted_ids[pos] == queries
-    return order[pos], found
+    """Map txIds -> row indices via binary search (native C++ when built).
+    Returns (idx, found_mask)."""
+    from ..native import map_ids
+
+    return map_ids(tx_ids, queries)
 
 
 def load_elliptic_as_graph(
@@ -114,18 +112,34 @@ def load_elliptic_as_graph(
     )
 
     # ---- features: headerless, col0 txId, col1 maybe timestep ----
-    df_feat = pd.read_csv(f_path, header=None)
-    if df_feat.shape[1] < 2:
-        raise ValueError("features CSV malformed (needs >= txId + 1 column)")
-    feat_tx = pd.to_numeric(df_feat.iloc[:, 0], errors="raise").to_numpy(np.int64)
-    second_col = pd.to_numeric(df_feat.iloc[:, 1], errors="coerce").to_numpy(np.float64)
-    feat_has_ts = looks_like_timestep(second_col)
-    if feat_has_ts:
-        feat_ts = second_col.astype(np.int64)
-        x = df_feat.iloc[:, 2:].to_numpy(np.float32)
+    # (the big file — hundreds of MB on the real dataset — parsed by the
+    # native mmap CSV reader when built, ~10x faster than pandas)
+    from ..native import parse_numeric_csv
+
+    raw = parse_numeric_csv(f_path)
+    if raw is not None and raw.shape[1] >= 2 and np.isfinite(raw[:, 0]).all():
+        feat_tx = raw[:, 0].astype(np.int64)
+        second_col = raw[:, 1].astype(np.float64)
+        feat_has_ts = looks_like_timestep(second_col)
+        if feat_has_ts:
+            feat_ts = second_col.astype(np.int64)
+            x = raw[:, 2:].astype(np.float32)
+        else:
+            feat_ts = None
+            x = raw[:, 1:].astype(np.float32)
     else:
-        feat_ts = None
-        x = df_feat.iloc[:, 1:].to_numpy(np.float32)
+        df_feat = pd.read_csv(f_path, header=None)
+        if df_feat.shape[1] < 2:
+            raise ValueError("features CSV malformed (needs >= txId + 1 column)")
+        feat_tx = pd.to_numeric(df_feat.iloc[:, 0], errors="raise").to_numpy(np.int64)
+        second_col = pd.to_numeric(df_feat.iloc[:, 1], errors="coerce").to_numpy(np.float64)
+        feat_has_ts = looks_like_timestep(second_col)
+        if feat_has_ts:
+            feat_ts = second_col.astype(np.int64)
+            x = df_feat.iloc[:, 2:].to_numpy(np.float32)
+        else:
+            feat_ts = None
+            x = df_feat.iloc[:, 1:].to_numpy(np.float32)
 
     n = feat_tx.size
 

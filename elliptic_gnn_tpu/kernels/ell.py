@@ -77,7 +77,16 @@ class EllGraph:
 
 def build_csr(src: np.ndarray, dst: np.ndarray, num_nodes: int):
     """Sort edges by destination. Returns (indptr [N+1], col [E], order [E])
-    where `order` maps CSR position -> original edge id."""
+    where `order` maps CSR position -> original edge id. Uses the native
+    counting-sort (native/egnn_native.cpp) when built."""
+    try:
+        from ..native import build_csr as native_csr, is_available
+
+        if is_available():
+            indptr, col, order = native_csr(src, dst, num_nodes)
+            return indptr, col.astype(np.int32), order
+    except ImportError:
+        pass
     order = np.argsort(dst, kind="stable")
     col = src[order].astype(np.int32)
     counts = np.bincount(dst, minlength=num_nodes)
