@@ -52,6 +52,9 @@ def main() -> None:
                     help="name v1 v2 ... (repeatable)")
     ap.add_argument("--out", type=str, default="outputs/sweeps/param_sweep.csv")
     ap.add_argument("--output_root", type=str, default="outputs")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="concurrent training subprocesses (sweep-level "
+                         "task parallelism; keep 1 per accelerator)")
     args = ap.parse_args()
 
     with open(args.template) as f:
@@ -62,8 +65,8 @@ def main() -> None:
     combos = list(itertools.product(*values))
     print(f"[SWEEP] {len(combos)} combos over {names}")
 
-    rows = []
-    for i, combo in enumerate(combos, 1):
+    def run_one(i_combo):
+        i, combo = i_combo
         cfg = yaml.safe_load(yaml.safe_dump(base))  # deep copy
         tag_parts = []
         for name, val in zip(names, combo):
@@ -102,7 +105,18 @@ def main() -> None:
         else:
             row["run_status"] = "failed"
             print(proc.stderr[-500:] if proc.stderr else "(no stderr)")
-        rows.append(row)
+        return row
+
+    items = list(enumerate(combos, 1))
+    if args.jobs > 1:
+        # sweep-level task parallelism (the reference runs combos strictly
+        # sequentially, sweep_gnn.py:175-232)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            rows = list(pool.map(run_one, items))
+    else:
+        rows = [run_one(it) for it in items]
 
     ensure_dir(os.path.dirname(args.out) or ".")
     cols = sorted({k for r in rows for k in r})

@@ -42,7 +42,7 @@ CHUNK = 128
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "src_chunk", "residual", "residual_rows"],
+    data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose"],
     meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name", "chunk"],
 )
 @dataclasses.dataclass
@@ -65,6 +65,10 @@ class BsdaGraph:
     n_pad: int
     a_dtype_name: str
     chunk: int = CHUNK
+    # optional A^T encoding: when present, bsda_spmm routes gradients
+    # through a *forward* pass on the transpose (custom VJP) instead of
+    # autodiff's chunk scatter-add — ~2x faster backward
+    transpose: Optional["BsdaGraph"] = None
 
 
 def bfs_order(edge_index: np.ndarray, num_nodes: int,
@@ -234,15 +238,41 @@ def build_bsda(
 
 def bsda_spmm(g: BsdaGraph, x: jnp.ndarray,
               compute_dtype=None) -> jnp.ndarray:
-    """out[d] = sum_e w_e x[src_e]: batched dense chunk matmuls + residual."""
+    """out[d] = sum_e w_e x[src_e]: batched dense chunk matmuls + residual.
+
+    With g.transpose set, gradients flow through a forward pass on the
+    transpose encoding (d/dx of a weighted sum over edges = the same sum
+    over reversed edges with identical weights)."""
+    if g.transpose is not None:
+
+        @jax.custom_vjp
+        def f(x):
+            return _bsda_spmm_impl(g, x, compute_dtype)
+
+        def f_fwd(x):
+            return _bsda_spmm_impl(g, x, compute_dtype), None
+
+        def f_bwd(_res, ct):
+            return (_bsda_spmm_impl(g.transpose, ct, compute_dtype),)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(x)
+    return _bsda_spmm_impl(g, x, compute_dtype)
+
+
+def _bsda_spmm_impl(g: BsdaGraph, x: jnp.ndarray,
+                    compute_dtype=None) -> jnp.ndarray:
     n0, f = x.shape
     out_dtype = x.dtype
     xc = x.astype(compute_dtype) if compute_dtype is not None else x
-    if g.n_pad:
-        xc = jnp.concatenate(
-            [xc, jnp.zeros((g.n_pad, f), xc.dtype)], axis=0
-        )
     chunk = g.chunk
+    n_target = g.num_chunks * chunk
+    pad = n_target - n0
+    assert pad >= 0, (n0, n_target)
+    if pad:
+        xc = jnp.concatenate(
+            [xc, jnp.zeros((pad, f), xc.dtype)], axis=0
+        )
     x3 = xc.reshape(g.num_chunks, chunk, f)
     gathered = x3[g.src_chunk]  # [B, D, C, F] chunk-granular gather
     a = g.a.astype(xc.dtype)
@@ -281,18 +311,42 @@ def _residual_spmm(res: EllGraph, x: jnp.ndarray, compute_dtype):
     return permuted[res.inv_perm]
 
 
+def with_transpose(g: BsdaGraph, edge_index: np.ndarray, num_nodes: int,
+                   edge_weights: Optional[np.ndarray], mean: bool) -> BsdaGraph:
+    """Attach the A^T encoding (reversed edges, identical folded weights)."""
+    w_all = (
+        np.ones(edge_index.shape[1], np.float32)
+        if edge_weights is None
+        else np.asarray(edge_weights, np.float32)
+    )
+    if mean:
+        deg = np.bincount(edge_index[1], minlength=num_nodes)
+        w_all = w_all / np.maximum(deg[edge_index[1]], 1).astype(np.float32)
+    rev = np.stack([edge_index[1], edge_index[0]])
+    g_t = build_bsda(rev, num_nodes, edge_weights=w_all, mean=False,
+                     depth=g.depth, a_dtype=g.a_dtype_name, chunk=g.chunk)
+    return dataclasses.replace(g, transpose=g_t)
+
+
 def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
-                        depth: int = 2, a_dtype: str = "float32") -> BsdaGraph:
+                        depth: int = 2, a_dtype: str = "float32",
+                        transpose: bool = True) -> BsdaGraph:
     """Model-kind wrapper matching prepare_graph_ops semantics."""
     from ..graph.transform import add_self_loops
     from .ell import gcn_norm_weights
 
     if kind == "sage":
-        return build_bsda(edge_index, num_nodes, mean=True, depth=depth,
-                          a_dtype=a_dtype)
+        g = build_bsda(edge_index, num_nodes, mean=True, depth=depth,
+                       a_dtype=a_dtype)
+        if transpose:
+            g = with_transpose(g, edge_index, num_nodes, None, mean=True)
+        return g
     if kind == "gcn":
         ei = add_self_loops(edge_index, num_nodes)
         w = gcn_norm_weights(ei, num_nodes)
-        return build_bsda(ei, num_nodes, edge_weights=w, mean=False,
-                          depth=depth, a_dtype=a_dtype)
+        g = build_bsda(ei, num_nodes, edge_weights=w, mean=False,
+                       depth=depth, a_dtype=a_dtype)
+        if transpose:
+            g = with_transpose(g, ei, num_nodes, w, mean=False)
+        return g
     raise ValueError(f"BSDA supports sage/gcn, not {kind!r}")

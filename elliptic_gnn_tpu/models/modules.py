@@ -137,17 +137,26 @@ def bn_init(dim: int) -> Tuple[Params, State]:
     return params, state
 
 
-def bn_apply(params, state, h, training: bool, axis_name: Optional[str] = None):
+def bn_apply(params, state, h, training: bool, axis_name: Optional[str] = None,
+             row_mask: Optional[jnp.ndarray] = None):
     """BatchNorm1d over the node dimension; running stats torch-convention
     (momentum 0.1 toward the batch statistic, unbiased var in running stats).
 
     Under sharding (axis_name set), batch statistics are computed over the
-    global node set via psum of per-shard sums/counts.
+    global node set via psum of per-shard sums/counts. `row_mask` [N]
+    excludes padding rows from the statistics (sharded inputs pad node
+    arrays to the chunk grid) so padded and unpadded runs are bit-equal.
     """
     if training:
-        n = jnp.asarray(h.shape[0], h.dtype)
-        s = h.sum(axis=0)
-        sq = (h * h).sum(axis=0)
+        if row_mask is not None:
+            m = row_mask.astype(h.dtype)[:, None]
+            n = row_mask.astype(h.dtype).sum()
+            s = (h * m).sum(axis=0)
+            sq = (h * h * m).sum(axis=0)
+        else:
+            n = jnp.asarray(h.shape[0], h.dtype)
+            s = h.sum(axis=0)
+            sq = (h * h).sum(axis=0)
         if axis_name is not None:
             n = jax.lax.psum(n, axis_name)
             s = jax.lax.psum(s, axis_name)
@@ -242,7 +251,7 @@ def _stack_apply(layer_apply, act):
     dropout between layers, final conv produces logits (gnn.py:25-76)."""
 
     def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
-              axis_name=None, dropout=0.0):
+              axis_name=None, row_mask=None, dropout=0.0):
         h = x
         n_layers = len(params["layers"])
         rngs = (
@@ -288,7 +297,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
         )
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
-                  axis_name=None):
+                  axis_name=None, row_mask=None):
             return base(params, state, x, g, t_idx, training=training, rng=rng,
                         axis_name=axis_name, dropout=dropout)
 
@@ -311,7 +320,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
         )
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
-                  axis_name=None):
+                  axis_name=None, row_mask=None):
             return base(params, state, x, g, t_idx, training=training, rng=rng,
                         axis_name=axis_name, dropout=dropout)
 
@@ -330,7 +339,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
             return {"layers": ps}, {}
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
-                  axis_name=None):
+                  axis_name=None, row_mask=None):
             h = x
             n_layers = len(params["layers"])
             rngs = (
@@ -400,7 +409,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
             return jnp.concatenate([x, te.astype(x.dtype)], axis=1)
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
-                  axis_name=None):
+                  axis_name=None, row_mask=None):
             h = inject_time(params, x, t_idx)
             n_layers = len(params["layers"])
             rngs = (
@@ -412,7 +421,8 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
                 h = sage_layer_apply(params["layers"][li], h, g, cdt)
                 if use_bn:
                     h, bns = bn_apply(
-                        params["bns"][li], state["bns"][li], h, training, axis_name
+                        params["bns"][li], state["bns"][li], h, training,
+                        axis_name, row_mask,
                     )
                     new_bn_states.append(bns)
                 h = jax.nn.relu(h)

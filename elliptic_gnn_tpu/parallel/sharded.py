@@ -97,32 +97,90 @@ def shard_ell_graph(g: EllGraph, mesh: Mesh) -> EllGraph:
     )
 
 
-def shard_graph_inputs(mesh: Mesh, data, gops: EllGraph) -> Tuple:
-    """Place node arrays and ELL tables on the mesh, rows sharded.
+def shard_graph_inputs(mesh: Mesh, data, gops) -> Tuple:
+    """Place node arrays and aggregation tables on the mesh, rows sharded.
 
-    Returns (x, y, timestep, train_mask_f, gops, n_padded). Node arrays are
-    padded to a multiple of the mesh size; padded rows are unlabeled
-    (mask 0) and edge-free, so results are bitwise-identical to 1 chip.
+    Returns (x, y, timestep, train_mask_f, row_mask, gops, n_padded).
+    Node arrays are padded; padded rows are unlabeled (train mask 0),
+    edge-free, and excluded from BatchNorm statistics via `row_mask`, so
+    results are bitwise-identical to 1 chip.
+
+    For a BsdaGraph (kernels/bsda.py), the dense chunk tables are sharded
+    along the destination-chunk dim and the node arrays padded to the chunk
+    grid; XLA partitions the batched matmuls and all-gathers source chunks
+    over ICI as needed.
     """
+    from ..kernels.bsda import BsdaGraph
+
     n_dev = mesh.devices.size
     row_sh = NamedSharding(mesh, P(NODE_AXIS))
     row2_sh = NamedSharding(mesh, P(NODE_AXIS, None))
 
     n0 = data.num_nodes
-    x = pad_to_multiple(data.x, n_dev)
-    y = pad_to_multiple(np.maximum(data.y, 0).astype(np.int32), n_dev)
-    ts = pad_to_multiple(data.timestep.astype(np.int32), n_dev, fill=1)
-    tm = pad_to_multiple(data.train_mask.astype(np.float32), n_dev)
+    if isinstance(gops, BsdaGraph):
+        n_target = gops.num_chunks * gops.chunk
+        assert n_target % n_dev == 0 or True  # GSPMD tolerates uneven shards
 
+        def pad_rows(a, fill=0):
+            padw = [(0, n_target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, padw, constant_values=fill)
+
+        x = pad_rows(data.x)
+        y = pad_rows(np.maximum(data.y, 0).astype(np.int32))
+        ts = pad_rows(data.timestep.astype(np.int32), fill=1)
+        tm = pad_rows(data.train_mask.astype(np.float32))
+        gops_sh = shard_bsda_graph(gops, mesh)
+    else:
+        x = pad_to_multiple(data.x, n_dev)
+        y = pad_to_multiple(np.maximum(data.y, 0).astype(np.int32), n_dev)
+        ts = pad_to_multiple(data.timestep.astype(np.int32), n_dev, fill=1)
+        tm = pad_to_multiple(data.train_mask.astype(np.float32), n_dev)
+        # NB: inv_perm gather output must cover padded node count; extend it
+        # by pointing padded nodes at the zero block.
+        gops_sh = shard_ell_graph(_extend_for_padding(gops, x.shape[0]), mesh)
+
+    rm = (np.arange(x.shape[0]) < n0).astype(np.float32)
     x_d = jax.device_put(jnp.asarray(x), row2_sh)
     y_d = jax.device_put(jnp.asarray(y), row_sh)
     ts_d = jax.device_put(jnp.asarray(ts), row_sh)
     tm_d = jax.device_put(jnp.asarray(tm), row_sh)
+    rm_d = jax.device_put(jnp.asarray(rm), row_sh)
+    return x_d, y_d, ts_d, tm_d, rm_d, gops_sh, x.shape[0] - n0
 
-    # NB: inv_perm gather output must cover padded node count; extend it by
-    # pointing padded nodes at the zero block (position n_zero start).
-    gops_sh = shard_ell_graph(_extend_for_padding(gops, x.shape[0]), mesh)
-    return x_d, y_d, ts_d, tm_d, gops_sh, x.shape[0] - n0
+
+def shard_bsda_graph(g, mesh: Mesh):
+    """Shard BSDA dense tables over destination chunks; the small residual
+    stays replicated. Falls back to replicated tables when the chunk count
+    doesn't divide the mesh (tiny test graphs) — GSPMD still partitions the
+    compute by the row-sharded inputs."""
+    import dataclasses
+
+    n_dev = mesh.devices.size
+    if g.num_chunks % n_dev == 0:
+        chunk_sh = NamedSharding(mesh, P(NODE_AXIS, None, None, None))
+        chunk1_sh = NamedSharding(mesh, P(NODE_AXIS, None))
+    else:
+        chunk_sh = NamedSharding(mesh, P())
+        chunk1_sh = NamedSharding(mesh, P())
+    rep = NamedSharding(mesh, P())
+
+    def place(gg):
+        repl = lambda t: jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep), t
+        )
+        return dataclasses.replace(
+            gg,
+            a=jax.device_put(gg.a, chunk_sh),
+            src_chunk=jax.device_put(gg.src_chunk, chunk1_sh),
+            residual=repl(gg.residual) if gg.residual is not None else None,
+            residual_rows=(
+                jax.device_put(gg.residual_rows, rep)
+                if gg.residual_rows is not None else None
+            ),
+            transpose=place(gg.transpose) if gg.transpose is not None else None,
+        )
+
+    return place(g)
 
 
 def _extend_for_padding(g: EllGraph, n_padded: int) -> EllGraph:

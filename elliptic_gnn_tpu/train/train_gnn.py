@@ -230,8 +230,13 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     # NB: graph arrays are jit ARGUMENTS, not closure constants — closures
     # would embed hundreds of MB of tables/features into the compile payload
     # (pathological for remote-compile setups) and re-upload per retrace.
+    # Train + val-eval are ONE fused executable per epoch returning a single
+    # vector [probs_val..., loss]: one dispatch and one device->host
+    # transfer per epoch (device round-trips dominate epoch time on
+    # high-latency links; the reference pulls full-graph probs each epoch,
+    # train_gnn.py:254-257).
     @jax.jit
-    def train_step(params, state, opt_state, rng, x, gops, t_idx_arg):
+    def epoch_step(params, state, opt_state, rng, x, gops, t_idx_arg):
         def lf(p):
             logits, new_state = model.apply(
                 p, state, x, gops, t_idx_arg, training=True, rng=rng
@@ -244,13 +249,13 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_state, new_opt, loss
 
-    @jax.jit
-    def eval_val(params, state, x, gops, t_idx_arg):
-        logits, _ = model.apply(params, state, x, gops, t_idx_arg, training=False)
-        probs = jax.nn.softmax(logits, axis=1)[:, 1]
-        return probs[val_idx]
+        logits, _ = model.apply(
+            new_params, new_state, x, gops, t_idx_arg, training=False
+        )
+        probs_val = jax.nn.softmax(logits, axis=1)[:, 1][val_idx]
+        fused = jnp.concatenate([probs_val, loss[None].astype(probs_val.dtype)])
+        return new_params, new_state, new_opt, fused
 
     y_val_bin = (data.y[data.val_mask] == 1).astype(int)
 
@@ -276,15 +281,15 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         if profile_dir and epoch == start_epoch + 3:
             jax.profiler.start_trace(profile_dir)
         rng, step_rng = jax.random.split(rng)
-        params, state, opt_state, loss = train_step(
+        params, state, opt_state, fused = epoch_step(
             params, state, opt_state, step_rng, x, gops, t_idx_arg
         )
-        p_val = np.asarray(eval_val(params, state, x, gops, t_idx_arg))
+        fused = np.asarray(fused)  # single host sync per epoch
+        p_val, loss_f = fused[:-1], float(fused[-1])
         if profile_dir and epoch == start_epoch + 5:
             jax.profiler.stop_trace()
 
         pr_val = 0.0 if p_val.size == 0 else M.pr_auc_illicit(y_val_bin, p_val)
-        loss_f = float(loss)
         logger.log_epoch(epoch, loss_f, pr_val)
         epochs_run += 1
 

@@ -174,3 +174,30 @@ def test_bsda_vs_ell_same_training_result(tmp_path):
     m2 = train_gnn.main(dict(base, run_name="agg_ell", aggregation="ell"))
     assert abs(m1["pr_auc_illicit"] - m2["pr_auc_illicit"]) < 1e-3
     assert abs(m1["best_val_pr_auc"] - m2["best_val_pr_auc"]) < 1e-3
+
+
+def test_transpose_vjp_matches_autodiff():
+    """Custom VJP through the transpose encoding == autodiff gradients."""
+    from elliptic_gnn_tpu.kernels.bsda import build_bsda_for_kind
+
+    n, f = 500, 16
+    ei, block_ids = _graph(n, 4, 2.0, seed=11)
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    g_t = build_bsda_for_kind(ei_r, n, "sage", transpose=True)
+    g_a = build_bsda_for_kind(ei_r, n, "sage", transpose=False)
+    assert g_t.transpose is not None and g_a.transpose is None
+
+    out_t = np.asarray(bsda_spmm(g_t, x))
+    out_a = np.asarray(bsda_spmm(g_a, x))
+    np.testing.assert_allclose(out_t, out_a, rtol=1e-5, atol=1e-6)
+
+    _, vjp_t = jax.vjp(lambda x: bsda_spmm(g_t, x), x)
+    _, vjp_a = jax.vjp(lambda x: bsda_spmm(g_a, x), x)
+    np.testing.assert_allclose(
+        np.asarray(vjp_t(ct)[0]), np.asarray(vjp_a(ct)[0]), rtol=1e-4, atol=1e-5
+    )

@@ -42,12 +42,13 @@ def _setup(num_nodes=600):
     return data, gops, model, params, state, loss_fn, tx
 
 
-def _step_fn(model, tx, loss_fn, x, y, ts, tmask, gops):
+def _step_fn(model, tx, loss_fn, x, y, ts, tmask, gops, row_mask=None):
     @jax.jit
     def step(params, state, opt_state):
         def lf(p):
             logits, new_state = model.apply(
-                p, state, x, gops, ts, training=True, rng=None
+                p, state, x, gops, ts, training=True, rng=None,
+                row_mask=row_mask,
             )
             return loss_fn(p, logits, y, None, tmask), new_state
 
@@ -73,12 +74,12 @@ def test_sharded_step_matches_single_device():
 
     # 8-device sharded
     mesh = make_mesh(8)
-    x8, y8, ts8, tm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
+    x8, y8, ts8, tm8, rm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
     rep = replicated(mesh)
     params8 = jax.device_put(params, rep)
     state8 = jax.device_put(state, rep)
     opt8 = jax.device_put(tx.init(params), rep)
-    step8 = _step_fn(model, tx, loss_fn, x8, y8, ts8, tm8, gops8)
+    step8 = _step_fn(model, tx, loss_fn, x8, y8, ts8, tm8, gops8, rm8)
     p8, s8, loss8 = step8(params8, state8, opt8)
 
     assert np.isclose(float(loss1), float(loss8), rtol=1e-5, atol=1e-6)
@@ -99,7 +100,7 @@ def test_sharded_eval_matches_single_device():
     )(params, state)
 
     mesh = make_mesh(8)
-    x8, y8, ts8, tm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
+    x8, y8, ts8, tm8, rm8, gops8, n_pad = shard_graph_inputs(mesh, data, gops)
     rep = replicated(mesh)
     logits8, _ = jax.jit(
         lambda p, s: model.apply(p, s, x8, gops8, ts8, training=False)
@@ -116,3 +117,41 @@ def test_dryrun_multichip_smoke():
 
     n = min(len(jax.devices()), 8)
     ge.dryrun_multichip(n)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_bsda_step_matches_single_device():
+    """BSDA aggregation under GSPMD row sharding == single-device result."""
+    from elliptic_gnn_tpu.train.train_gnn import build_train_state
+
+    cfg = dict(CFG, aggregation="bsda")
+    data0 = synthetic.generate(num_nodes=600, num_timesteps=12, seed=1)
+    from elliptic_gnn_tpu.graph import make_temporal_masks
+
+    data0 = make_temporal_masks(data0, t_train_end=8, t_val_end=10)
+    data0 = symmetrize_edges(data0)
+    data, model, gops, params, state, tx, loss_fn = None, None, None, None, None, None, None
+    data, model, gops, params, state, tx, opt_state, loss_fn = build_train_state(
+        cfg, data0, 0
+    )
+
+    x1 = jnp.asarray(data.x)
+    y1 = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
+    ts1 = jnp.asarray(data.timestep.astype(np.int32))
+    tm1 = jnp.asarray(data.train_mask.astype(np.float32))
+    step1 = _step_fn(model, tx, loss_fn, x1, y1, ts1, tm1, gops)
+    p1, s1, loss1 = step1(params, state, opt_state)
+
+    mesh = make_mesh(8)
+    x8, y8, ts8, tm8, rm8, gops8, _ = shard_graph_inputs(mesh, data, gops)
+    rep = replicated(mesh)
+    step8 = _step_fn(model, tx, loss_fn, x8, y8, ts8, tm8, gops8, rm8)
+    p8, s8, loss8 = step8(
+        jax.device_put(params, rep), jax.device_put(state, rep),
+        jax.device_put(tx.init(params), rep),
+    )
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        # Adam amplifies float reduction-order noise for near-zero-variance
+        # params; bound by a fraction of one optimizer step (lr=1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=3e-4)
