@@ -160,12 +160,12 @@ def main() -> None:
         )
 
     t0 = time.time()
-    run_epochs(5)
+    run_epochs(4)
     t5 = time.time() - t0
     t0 = time.time()
-    run_epochs(45)
+    run_epochs(28)
     t45 = time.time() - t0
-    epoch_s = (t45 - t5) / 40
+    epoch_s = (t45 - t5) / 24
     log(f"[bench] train epoch (SAGE-ResBN, full-batch, incl. host AP sync): "
         f"{epoch_s*1e3:.1f} ms")
 
