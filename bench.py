@@ -149,7 +149,6 @@ def main() -> None:
         build_train_state(cfg, data, 42)
     )
 
-    import types
 
     # reuse the real training loop for a fixed number of epochs
     def run_epochs(n):

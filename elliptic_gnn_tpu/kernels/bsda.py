@@ -159,7 +159,6 @@ def build_bsda(
     p_src = (uniq_pairs % b).astype(np.int64)
 
     src_chunk = np.tile(np.arange(b, dtype=np.int64)[:, None], (1, depth))
-    chosen = {}
     # rank pairs by count within each dst chunk, always keep the diagonal
     order_p = np.lexsort((-pair_cnt, p_dst))
     fill = np.zeros(b, np.int64)
