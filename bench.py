@@ -108,7 +108,9 @@ def main() -> None:
     )
 
     # ---- SpMM: chained-scan differential timing ----
-    dt_bsda, dbg = differential_time(lambda c: B.bsda_spmm(g, c), x)
+    dt_bsda, dbg = differential_time(
+        lambda c, gg: B.bsda_spmm(gg, c), x, g
+    )
     bw = hbm_bandwidth_gbps()
     traffic = bsda_traffic_bytes(g, HIDDEN)
     roofline_dt = traffic / (bw * 1e9)
@@ -123,7 +125,9 @@ def main() -> None:
     # ELL fallback path for comparison
     g_e, rk = renumber_for_ell(build_ell_graph(data.edge_index, data.num_nodes, mean=True))
     x_e = x[jnp.asarray(np.argsort(rk))]
-    dt_ell, _ = differential_time(lambda c: ell_spmm(g_e, c), x_e)
+    dt_ell, _ = differential_time(
+        lambda c, gg: ell_spmm(gg, c), x_e, g_e
+    )
     log(f"[bench] ELL SpMM: {dt_ell*1e3:.3f} ms/iter ({e/dt_ell/1e9:.3f} Ge/s)")
 
     # ---- end-to-end training epochs (wall clock, per-epoch host sync) ----

@@ -25,12 +25,16 @@ import numpy as np
 
 
 def make_chained_runner(op: Callable, n_iter: int):
-    """One jitted executable: op chained n_iter times + tiny output."""
+    """One jitted executable: op chained n_iter times + tiny output.
+
+    `op(carry, *consts)` — pass big constant pytrees (graph tables) through
+    `consts` so they become jit ARGUMENTS; closing over them embeds them in
+    the executable, which remote-compile setups reject above ~100 MB."""
 
     @jax.jit
-    def run(x):
+    def run(x, *consts):
         def body(c, _):
-            return op(c), None
+            return op(c, *consts), None
 
         out, _ = jax.lax.scan(body, x, None, length=n_iter)
         # tiny dependent output as a completion fence (works for pytrees)
@@ -42,23 +46,24 @@ def make_chained_runner(op: Callable, n_iter: int):
     return run
 
 
-def differential_time(op: Callable, x, n_small: int = 4, n_big: int = 36,
-                      repeats: int = 3) -> Tuple[float, dict]:
-    """Per-iteration seconds for `op` (shape-preserving), via chained-scan
-    slope with readback fencing. Returns (seconds_per_iter, debug)."""
+def differential_time(op: Callable, x, *consts, n_small: int = 4,
+                      n_big: int = 36, repeats: int = 3) -> Tuple[float, dict]:
+    """Per-iteration seconds for `op` (shape-preserving in its first arg),
+    via chained-scan slope with readback fencing.
+    Returns (seconds_per_iter, debug)."""
     r_s = make_chained_runner(op, n_small)
     r_b = make_chained_runner(op, n_big)
     # compile + warm the readback path (first D2H is minutes on this relay)
-    np.asarray(r_s(x))
-    np.asarray(r_b(x))
+    np.asarray(r_s(x, *consts))
+    np.asarray(r_b(x, *consts))
 
     t_small, t_big = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        np.asarray(r_s(x))
+        np.asarray(r_s(x, *consts))
         t_small.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(r_b(x))
+        np.asarray(r_b(x, *consts))
         t_big.append(time.perf_counter() - t0)
     ts, tb = min(t_small), min(t_big)
     per = (tb - ts) / (n_big - n_small)

@@ -11,6 +11,7 @@ from .ell import EllGraph, build_ell_graph, ell_spmm, ell_gat_aggregate  # noqa:
 def spmm(g, x, compute_dtype=None):
     """Aggregation dispatch by encoding type:
       BsdaGraph        -> MXU batched dense chunk matmuls (primary path)
+      ShardedBsda      -> explicit halo-exchange shard_map variant
       PallasSpmmGraph  -> Pallas block-diagonal kernel
       EllGraph         -> pure-XLA gather ELL (fallback/oracle)
     """
@@ -21,4 +22,8 @@ def spmm(g, x, compute_dtype=None):
         return bsda_spmm(g, x, compute_dtype=compute_dtype)
     if isinstance(g, PallasSpmmGraph):
         return pallas_spmm_apply(g, x, compute_dtype=compute_dtype)
+    from ..parallel.shardmap_step import ShardedBsda, sharded_bsda_spmm
+
+    if isinstance(g, ShardedBsda):
+        return sharded_bsda_spmm(g, x, compute_dtype=compute_dtype)
     return ell_spmm(g, x, compute_dtype=compute_dtype)

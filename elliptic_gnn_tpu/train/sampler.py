@@ -98,22 +98,27 @@ class NeighborSampler:
             e_src = np.zeros(0, np.int64)
             e_dst = np.zeros(0, np.int64)
 
-        # local relabeling: seeds occupy rows [0, n_seed)
+        # local relabeling: seeds occupy rows [0, n_seed); vectorized via
+        # sorted binary search (no per-edge Python dict lookups)
         uniq = np.unique(np.concatenate([seeds_p[:n_seed], e_src, e_dst]))
         rest = np.setdiff1d(uniq, seeds_p[:n_seed], assume_unique=False)
         order = np.concatenate([seeds_p[:n_seed], rest])
         if order.size > self.n_sub:
             # drop overflow nodes (and their edges) beyond the static budget
-            keep_set = set(order[: self.n_sub].tolist())
             order = order[: self.n_sub]
-            keep_e = np.array(
-                [s in keep_set and d in keep_set for s, d in zip(e_src, e_dst)],
-                dtype=bool,
-            )
+            kept_sorted = np.sort(order)
+            in_s = kept_sorted[
+                np.clip(np.searchsorted(kept_sorted, e_src), 0, order.size - 1)
+            ] == e_src
+            in_d = kept_sorted[
+                np.clip(np.searchsorted(kept_sorted, e_dst), 0, order.size - 1)
+            ] == e_dst
+            keep_e = in_s & in_d
             e_src, e_dst = e_src[keep_e], e_dst[keep_e]
-        lut = {int(g): i for i, g in enumerate(order)}
-        l_src = np.array([lut[int(s)] for s in e_src], dtype=np.int64)
-        l_dst = np.array([lut[int(d)] for d in e_dst], dtype=np.int64)
+        sorter = np.argsort(order, kind="stable")
+        order_sorted = order[sorter]
+        l_src = sorter[np.searchsorted(order_sorted, e_src)].astype(np.int64)
+        l_dst = sorter[np.searchsorted(order_sorted, e_dst)].astype(np.int64)
 
         node_ids = np.zeros(self.n_sub, dtype=np.int32)
         node_ids[: order.size] = order
@@ -158,14 +163,18 @@ class NeighborSampler:
             w[rows, 0] = 1.0
             fill[:n_valid] = 1
 
-        srt = np.argsort(l_dst, kind="stable")
-        for s, d in zip(l_src[srt], l_dst[srt]):
-            f = fill[d]
-            if f >= wdt:
-                continue  # truncate beyond static width
-            nbr[d, f] = s
-            w[d, f] = 1.0
-            fill[d] = f + 1
+        # vectorized slot assignment: sort edges by destination, compute each
+        # edge's within-destination offset, truncate beyond the static width
+        if l_dst.size:
+            srt = np.argsort(l_dst, kind="stable")
+            d_s, s_s = l_dst[srt], l_src[srt]
+            counts = np.bincount(d_s, minlength=n)
+            seg_start = np.cumsum(np.r_[0, counts[:-1]])
+            within = np.arange(d_s.size) - seg_start[d_s] + fill[d_s]
+            ok = within < wdt
+            nbr[d_s[ok], within[ok]] = s_s[ok]
+            w[d_s[ok], within[ok]] = 1.0
+            fill = np.minimum(fill + counts, wdt)
 
         deg = (w > 0).sum(axis=1).astype(np.float32)
         if self.kind == "sage":

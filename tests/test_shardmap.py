@@ -1,0 +1,164 @@
+"""Explicit-collective shard_map training step: numerically equivalent to
+the single-device BSDA step on the 8-virtual-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
+from elliptic_gnn_tpu.graph.transform import symmetrize_edges
+from elliptic_gnn_tpu.models.losses import class_weights, cross_entropy_per_sample
+from elliptic_gnn_tpu.parallel.mesh import make_mesh, NODE_AXIS
+from elliptic_gnn_tpu.parallel.shardmap_step import (
+    make_shardmap_train_step,
+    partition_bsda,
+)
+from elliptic_gnn_tpu.train.train_gnn import build_train_state, make_optimizer
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+CFG = {
+    "arch": "sage_resbn",
+    "hidden_dim": 32,
+    "layers": 3,
+    "dropout": 0.0,
+    "lr": 1e-3,
+    "weight_decay": 1e-4,
+    "grad_clip": 1.0,
+    "time_embed_dim": 2,
+    "time_embed_type": "sin",
+    "max_timestep": 12,
+    "aggregation": "bsda",
+    "bsda_depth": 2,
+}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shardmap_step_matches_single_device():
+    n_dev = 8
+    data0 = synthetic.generate(num_nodes=2000, num_timesteps=12, seed=3)
+    data0 = make_temporal_masks(data0, t_train_end=8, t_val_end=10)
+    data0 = symmetrize_edges(data0)
+    data, model, gops, params, state, _tx, _opt_state, loss_fn = (
+        build_train_state(CFG, data0, 0)
+    )
+    assert gops.num_chunks % n_dev == 0, "test graph must tile the mesh"
+    # SGD so parameter updates are proportional to gradients — Adam's rsqrt
+    # would amplify reduction-order noise on near-zero-gradient params into
+    # full-step differences, hiding what this test checks (gradient parity)
+    tx = optax.sgd(1e-2)
+    opt_state = tx.init(params)
+
+    cw = jnp.asarray(class_weights(data.y[data.train_mask]))
+
+    # ---- single-device reference with the SAME loss formula ----
+    n_target = gops.num_chunks * gops.chunk
+    pad = n_target - data.num_nodes
+    x1 = jnp.asarray(np.pad(data.x, ((0, pad), (0, 0))))
+    y1 = jnp.asarray(np.pad(np.maximum(data.y, 0), (0, pad)).astype(np.int32))
+    ts1 = jnp.asarray(np.pad(data.timestep, (0, pad), constant_values=1).astype(np.int32))
+    tm1 = jnp.asarray(np.pad(data.train_mask.astype(np.float32), (0, pad)))
+    rm1 = jnp.asarray((np.arange(n_target) < data.num_nodes).astype(np.float32))
+
+    import dataclasses
+
+    gops_plain = dataclasses.replace(gops, transpose=None)
+
+    @jax.jit
+    def ref_step(params, state, opt_state):
+        def lf(p):
+            logits, new_state = model.apply(
+                p, state, x1, gops_plain, ts1, training=True, rng=None,
+                row_mask=rm1,
+            )
+            vec = cross_entropy_per_sample(logits, y1, cw)
+            return (vec * tm1).sum() / jnp.maximum(tm1.sum(), 1.0), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, loss
+
+    p1, s1, loss1 = ref_step(params, state, opt_state)
+
+    # ---- shard_map step ----
+    mesh = make_mesh(n_dev)
+    sg = partition_bsda(gops_plain, n_dev)
+    step = make_shardmap_train_step(mesh, model, tx, (cw,), sg)
+
+    row = NamedSharding(mesh, P(NODE_AXIS))
+    row2 = NamedSharding(mesh, P(NODE_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(params, rep), jax.device_put(state, rep),
+        jax.device_put(opt_state, rep), jax.random.key(0),
+        jax.device_put(x1, row2), jax.device_put(y1, row),
+        jax.device_put(ts1, row), jax.device_put(tm1, row),
+        jax.device_put(rm1, row),
+    )
+    p8, s8, o8, loss8 = step(*args)
+
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-5, atol=1e-6), (
+        float(loss1), float(loss8)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=3e-4
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s8)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_partition_bsda_preserves_aggregation():
+    """sharded_bsda_spmm under shard_map == bsda_spmm single device."""
+    from elliptic_gnn_tpu.kernels import bsda as B
+    from elliptic_gnn_tpu.parallel.shardmap_step import sharded_bsda_spmm
+    from jax.experimental.shard_map import shard_map
+    from functools import partial
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    data0 = synthetic.generate(num_nodes=3000, num_timesteps=10, seed=5)
+    data0 = symmetrize_edges(data0)
+    rank = B.bfs_order(data0.edge_index, data0.num_nodes, data0.timestep)
+    data0 = data0.renumber(rank)
+    g = B.build_bsda(data0.edge_index, data0.num_nodes, mean=True, depth=2)
+    n_dev = 8
+    if g.num_chunks % n_dev:
+        pytest.skip("chunks don't tile the mesh for this size")
+
+    n_target = g.num_chunks * g.chunk
+    x = np.zeros((n_target, 32), np.float32)
+    x[: data0.num_nodes] = rng.standard_normal((data0.num_nodes, 32))
+    xj = jnp.asarray(x)
+
+    ref = np.asarray(B.bsda_spmm(g, xj[: data0.num_nodes]))
+
+    mesh = make_mesh(n_dev)
+    sg = partition_bsda(g, n_dev)
+    sg_specs = dataclasses.replace(
+        sg,
+        a=P(NODE_AXIS, None, None, None, None),
+        src_chunk=P(NODE_AXIS, None, None),
+        res_nbr=P(NODE_AXIS, None, None),
+        res_w=P(NODE_AXIS, None, None),
+        res_scale=P(NODE_AXIS, None),
+        res_rows=P(NODE_AXIS, None),
+    )
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(NODE_AXIS, None), sg_specs),
+        out_specs=P(NODE_AXIS, None), check_rep=False,
+    )
+    def agg(x_loc, sg_loc):
+        return sharded_bsda_spmm(sg_loc, x_loc)
+
+    out = np.asarray(agg(jax.device_put(
+        xj, NamedSharding(mesh, P(NODE_AXIS, None))
+    ), sg))
+    np.testing.assert_allclose(
+        out[: data0.num_nodes], ref, rtol=1e-4, atol=1e-5
+    )
