@@ -67,19 +67,9 @@ def main():
     report(f"A ell pow2 ({len(gA.widths)} buckets)", timeit(fA, x),
            f"pad={gA.padded_slots/e:.2f}x")
 
-    # B: min width 8
-    import elliptic_gnn_tpu.kernels.ell as ell_mod
-
-    def build_minw(min_w):
-        orig = ell_mod._next_pow2
-        ell_mod._next_pow2 = lambda v, _o=orig: max(min_w, _o(v))
-        try:
-            return build_ell_graph(data.edge_index, n, mean=True)
-        finally:
-            ell_mod._next_pow2 = orig
-
+    # B: larger minimum bucket width
     for mw in (4, 8, 16):
-        gB = build_minw(mw)
+        gB = build_ell_graph(data.edge_index, n, mean=True, min_width=mw)
         fB = jax.jit(lambda x, g=gB: ell_spmm(g, x))
         report(f"B ell minw={mw} ({len(gB.widths)} buckets)", timeit(fB, x),
                f"pad={gB.padded_slots/e:.2f}x")

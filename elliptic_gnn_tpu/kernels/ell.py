@@ -101,12 +101,14 @@ def build_ell_graph(
     edge_weights: Optional[np.ndarray] = None,
     mean: bool = False,
     max_width: int = 1 << 14,
+    min_width: int = 1,
 ) -> EllGraph:
     """Host-side one-time pack of a directed edge list into EllGraph.
 
     edge_weights: per-edge weights in edge_index order (e.g. GCN sym-norm);
                   default 1.0.
     mean:         if True, row_scale = 1/deg (masked mean aggregation).
+    min_width:    floor bucket width (fewer kernels, more padding).
     """
     src = np.asarray(edge_index[0], dtype=np.int64)
     dst = np.asarray(edge_index[1], dtype=np.int64)
@@ -125,10 +127,8 @@ def build_ell_graph(
     widths_per_node[nz] = 1 << np.ceil(
         np.log2(np.maximum(deg[nz], 1))
     ).astype(np.int64)
-    # route through the (test-patchable) single-value helper for min-width
-    # policy consistency
-    if _next_pow2(1) != 1:  # a patched helper implies a custom bucket floor
-        widths_per_node[nz] = np.maximum(widths_per_node[nz], _next_pow2(1))
+    if min_width > 1:
+        widths_per_node[nz] = np.maximum(widths_per_node[nz], min_width)
     uniq_widths = sorted(set(int(w) for w in widths_per_node if w > 0))
     for w in uniq_widths:
         if w > max_width:
