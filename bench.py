@@ -86,10 +86,14 @@ def main() -> None:
 
     dev = jax.devices()[0]
     log(f"[bench] device: {dev.device_kind} ({dev.platform})")
+    n_nodes = N_NODES
+    if dev.platform == "cpu":  # keep a CPU fallback run within time budget
+        n_nodes = 20_000
+        log("[bench] CPU fallback: reduced graph size")
 
     t0 = time.time()
     data = synthetic.generate(
-        num_nodes=N_NODES, num_features=N_FEATURES,
+        num_nodes=n_nodes, num_features=N_FEATURES,
         num_timesteps=N_TIMESTEPS, avg_degree=N_EDGES / N_NODES, seed=0,
     )
     data = make_temporal_masks(data, 34, 43)
@@ -197,4 +201,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit the JSON line for the driver
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "spmm_edges_per_s_per_chip",
+            "value": 0.0,
+            "unit": "edges/s",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(exc).__name__}: {exc}"},
+        }))
+        sys.exit(1)
