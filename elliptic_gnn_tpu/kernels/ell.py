@@ -235,6 +235,7 @@ def ell_gat_aggregate(
     over the row width — no segment primitives needed.
     """
     n, h, c = x_proj.shape
+    x_flat = x_proj.reshape(n, h * c)  # 2-D operand: XLA's fast row-gather case
     outs = []
     for nbr, w, rows in zip(g.nbrs, g.weights, g.rows):
         valid = w > 0  # [R, W]
@@ -246,7 +247,7 @@ def ell_gat_aggregate(
         ex = jnp.exp(scores - smax) * valid[..., None]
         denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
         att = ex / denom  # [R, W, H]
-        gathered = x_proj[nbr]  # [R, W, H, C]
+        gathered = x_flat[nbr].reshape(nbr.shape[0], nbr.shape[1], h, c)
         outs.append(jnp.einsum("rwh,rwhc->rhc", att, gathered))
     if g.n_zero_deg:
         outs.append(jnp.zeros((g.n_zero_deg, h, c), dtype=x_proj.dtype))
