@@ -27,3 +27,16 @@ def spmm(g, x, compute_dtype=None):
     if isinstance(g, ShardedBsda):
         return sharded_bsda_spmm(g, x, compute_dtype=compute_dtype)
     return ell_spmm(g, x, compute_dtype=compute_dtype)
+
+
+def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2):
+    """GAT attention dispatch: dense chunk-pair attention for BsdaGraph,
+    masked-row-softmax ELL otherwise."""
+    from .bsda import BsdaGraph
+    from .bsda_gat import bsda_gat_aggregate
+
+    if isinstance(g, BsdaGraph):
+        return bsda_gat_aggregate(
+            g, x_proj, alpha_src, alpha_dst, negative_slope
+        )
+    return ell_gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope)

@@ -351,4 +351,11 @@ def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
         if transpose:
             g = with_transpose(g, ei, num_nodes, w, mean=False)
         return g
-    raise ValueError(f"BSDA supports sage/gcn, not {kind!r}")
+    if kind == "gat":
+        # self-loops + unit weights: `a` holds edge multiplicities for the
+        # dense-attention path (kernels/bsda_gat.py); attention gradients
+        # flow via autodiff (no transpose encoding)
+        ei = add_self_loops(edge_index, num_nodes)
+        return build_bsda(ei, num_nodes, mean=False, depth=depth,
+                          a_dtype=a_dtype)
+    raise ValueError(f"BSDA supports sage/gcn/gat, not {kind!r}")

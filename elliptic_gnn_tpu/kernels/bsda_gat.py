@@ -1,0 +1,150 @@
+"""BSDA GAT attention: SDDMM + segment-softmax + weighted SpMM as dense
+chunk-pair compute on the MXU.
+
+The ELL GAT path (kernels/ell.py::ell_gat_aggregate) is gather-bound like
+any row-gather on TPU. This encoding reuses the BSDA chunk structure
+(kernels/bsda.py): per destination chunk b and slot d, attention scores
+form a dense C x C block
+
+    score[b,d,i,j] = LeakyReLU(a_src . Wx[src_j] + a_dst . Wx[dst_i])
+
+masked by the block's edge-multiplicity pattern (parallel edges contribute
+`mult` identical softmax terms — exactly PyG's semantics for duplicate
+edges). The per-destination softmax spans the D dense blocks AND the spill
+residual; the two parts combine with a streaming-softmax (flash-attention
+style) merge of (max, sumexp, weighted-sum) triples, so the result is
+bitwise the global segment softmax.
+
+Heads are processed sequentially to bound transient memory at one
+[B, D, C, C] score tensor.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bsda import BsdaGraph
+
+NEG_INF = -1e30
+
+
+def _dense_part(g: BsdaGraph, xp_h, asrc_h, adst_h, negative_slope):
+    """Per-head dense-block attention partials.
+
+    xp_h [N_pad, Ch], asrc_h/adst_h [N_pad] (padded to the chunk grid).
+    Returns (m [B,C], s [B,C], acc [B,C,Ch]) — running max, sum of
+    exp(score - m) weighted by multiplicity, and the weighted feature sum.
+    """
+    b, c = g.num_chunks, g.chunk
+    mult = g.a  # [B, D, C, C] edge multiplicities (0 = no edge)
+    asrc3 = asrc_h.reshape(b, c)
+    adst3 = adst_h.reshape(b, c)
+    xp3 = xp_h.reshape(b, c, -1)
+
+    asrc_chunks = asrc3[g.src_chunk]  # [B, D, C]
+    scores = jax.nn.leaky_relu(
+        asrc_chunks[:, :, None, :] + adst3[:, None, :, None], negative_slope
+    )  # [B, D, C(i), C(j)]
+    valid = mult > 0
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=(1, 3))  # [B, C]
+    e = jnp.exp(scores - m[:, None, :, None]) * mult.astype(scores.dtype)
+    s = e.sum(axis=(1, 3))  # [B, C]
+    xp_chunks = xp3[g.src_chunk]  # [B, D, C, Ch]
+    acc = jnp.einsum(
+        "bdij,bdjf->bif", e, xp_chunks, preferred_element_type=jnp.float32
+    )
+    return m, s, acc
+
+
+def _spill_part(g: BsdaGraph, xp_h, asrc_h, adst_h, negative_slope):
+    """Per-head residual attention partials over compact spill rows.
+
+    Returns (rows [R], m2 [R], s2 [R], acc2 [R, Ch])."""
+    res = g.residual
+    rows = g.residual_rows  # compact row -> node id
+    m2_parts, s2_parts, acc_parts = [], [], []
+    for nbr, w, rws in zip(res.nbrs, res.weights, res.rows):
+        valid = w > 0
+        sc = jax.nn.leaky_relu(
+            asrc_h[nbr] + adst_h[rows[rws]][:, None], negative_slope
+        )
+        sc = jnp.where(valid, sc, NEG_INF)
+        m_l = jnp.max(sc, axis=1)
+        e = jnp.exp(sc - m_l[:, None]) * w  # w = multiplicity
+        s_l = e.sum(axis=1)
+        acc_l = jnp.einsum(
+            "rw,rwf->rf", e, xp_h[nbr], preferred_element_type=jnp.float32
+        )
+        m2_parts.append(m_l)
+        s2_parts.append(s_l)
+        acc_parts.append(acc_l)
+    if res.n_zero_deg:
+        z = res.n_zero_deg
+        ch = xp_h.shape[-1]
+        m2_parts.append(jnp.full((z,), NEG_INF))
+        s2_parts.append(jnp.zeros((z,)))
+        acc_parts.append(jnp.zeros((z, ch)))
+    m2 = jnp.concatenate(m2_parts)
+    s2 = jnp.concatenate(s2_parts)
+    acc2 = jnp.concatenate(acc_parts)
+    if res.inv_perm is not None:
+        m2 = m2[res.inv_perm]
+        s2 = s2[res.inv_perm]
+        acc2 = acc2[res.inv_perm]
+    return m2, s2, acc2
+
+
+def bsda_gat_aggregate(
+    g: BsdaGraph,
+    x_proj: jnp.ndarray,
+    alpha_src: jnp.ndarray,
+    alpha_dst: jnp.ndarray,
+    negative_slope: float = 0.2,
+) -> jnp.ndarray:
+    """Per-destination softmax-weighted neighbor sum, all heads.
+
+    x_proj [N, H, Ch], alpha_src/alpha_dst [N, H] -> [N, H, Ch].
+    `g` must be built from the self-looped edge set with unit weights
+    (build_bsda_for_kind(..., 'gat')): `a` then holds edge multiplicities.
+    """
+    n0, h, ch = x_proj.shape
+    n_pad = g.num_chunks * g.chunk - n0
+
+    def pad(v, fill=0.0):
+        if n_pad == 0:
+            return v
+        shape = (n_pad,) + v.shape[1:]
+        return jnp.concatenate([v, jnp.full(shape, fill, v.dtype)], axis=0)
+
+    outs = []
+    for head in range(h):
+        xp_h = pad(x_proj[:, head, :])
+        asrc_h = pad(alpha_src[:, head], NEG_INF)
+        adst_h = pad(alpha_dst[:, head], NEG_INF)
+
+        m, s, acc = _dense_part(g, xp_h, asrc_h, adst_h, negative_slope)
+        m = m.reshape(-1)[:n0]
+        s = s.reshape(-1)[:n0]
+        acc = acc.reshape(-1, ch)[:n0]
+
+        if g.residual is not None:
+            m2c, s2c, acc2c = _spill_part(
+                g, xp_h, asrc_h, adst_h, negative_slope
+            )
+            rows = g.residual_rows
+            m2 = jnp.full((n0,), NEG_INF).at[rows].set(m2c)
+            s2 = jnp.zeros((n0,)).at[rows].set(s2c)
+            acc2 = jnp.zeros((n0, ch)).at[rows].set(acc2c)
+            # streaming-softmax merge of the two partials
+            big = jnp.maximum(m, m2)
+            w1 = jnp.exp(m - big)
+            w2 = jnp.exp(m2 - big)
+            s = s * w1 + s2 * w2
+            acc = acc * w1[:, None] + acc2 * w2[:, None]
+
+        outs.append(acc / jnp.maximum(s, 1e-16)[:, None])
+    return jnp.stack(outs, axis=1)  # [N, H, Ch]

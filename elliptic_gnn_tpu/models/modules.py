@@ -37,11 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels import spmm
+from ..kernels import gat_aggregate, spmm
 from ..kernels.ell import (
     EllGraph,
     build_ell_graph,
-    ell_gat_aggregate,
     gcn_norm_weights,
 )
 from ..graph.transform import add_self_loops
@@ -217,7 +216,7 @@ def gat_layer_apply(p, x, g: EllGraph, concat: bool):
     xp = jnp.einsum("nf,fhc->nhc", x, p["w"])
     a_src = jnp.einsum("nhc,hc->nh", xp, p["a_src"])
     a_dst = jnp.einsum("nhc,hc->nh", xp, p["a_dst"])
-    out = ell_gat_aggregate(g, xp, a_src, a_dst)  # [N, H, C]
+    out = gat_aggregate(g, xp, a_src, a_dst)  # [N, H, C]
     if concat:
         out = out.reshape(out.shape[0], -1)
     else:

@@ -110,7 +110,9 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     mode = cfg.get("aggregation", "auto")
     if cfg.get("use_pallas", False):  # explicit legacy switch
         mode = "pallas_block"
-    if cfg.get("mini_batch", False) or kind not in ("sage", "gcn"):
+    if cfg.get("mini_batch", False) or kind not in ("sage", "gcn", "gat"):
+        return "ell"
+    if kind == "gat" and mode == "pallas_block":
         return "ell"
     if mode == "auto":
         return "bsda"

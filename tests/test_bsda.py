@@ -201,3 +201,89 @@ def test_transpose_vjp_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(vjp_t(ct)[0]), np.asarray(vjp_a(ct)[0]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_bsda_gat_matches_ell_gat():
+    """Dense chunk-pair attention == ELL masked-row-softmax attention,
+    including spill edges and duplicate (parallel) edges."""
+    from elliptic_gnn_tpu.graph.transform import add_self_loops
+    from elliptic_gnn_tpu.kernels import gat_aggregate
+    from elliptic_gnn_tpu.kernels.bsda import build_bsda_for_kind
+    from elliptic_gnn_tpu.kernels.ell import build_ell_graph
+
+    n, h, c = 700, 4, 8
+    ei, block_ids = _graph(n, 5, 2.0, seed=13)
+    # force duplicates and some spill (random long-range edges)
+    rng = np.random.default_rng(13)
+    dup = ei[:, rng.integers(0, ei.shape[1], 50)]
+    far = np.stack([rng.integers(0, n, 60), rng.integers(0, n, 60)])
+    ei = np.concatenate([ei, dup, far], axis=1).astype(np.int64)
+
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    xp = jnp.asarray(rng.standard_normal((n, h, c)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+
+    g_b = build_bsda_for_kind(ei_r, n, "gat", depth=2)
+    assert g_b.residual is not None  # far edges must spill
+    ei_loops = add_self_loops(ei_r.astype(np.int32), n)
+    g_e = build_ell_graph(ei_loops, n, mean=False)
+
+    out_b = np.asarray(gat_aggregate(g_b, xp, a_s, a_d))
+    out_e = np.asarray(gat_aggregate(g_e, xp, a_s, a_d))
+    np.testing.assert_allclose(out_b, out_e, rtol=2e-4, atol=2e-5)
+
+
+def test_bsda_gat_grad_matches_ell():
+    from elliptic_gnn_tpu.graph.transform import add_self_loops
+    from elliptic_gnn_tpu.kernels import gat_aggregate
+    from elliptic_gnn_tpu.kernels.bsda import build_bsda_for_kind
+    from elliptic_gnn_tpu.kernels.ell import build_ell_graph
+
+    n, h, c = 300, 2, 4
+    ei, block_ids = _graph(n, 3, 1.5, seed=17)
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    rng = np.random.default_rng(17)
+    xp = jnp.asarray(rng.standard_normal((n, h, c)).astype(np.float32))
+    a_s = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    a_d = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+
+    g_b = build_bsda_for_kind(ei_r, n, "gat", depth=2)
+    g_e = build_ell_graph(add_self_loops(ei_r.astype(np.int32), n), n)
+
+    def loss_b(xp, a_s, a_d):
+        return (gat_aggregate(g_b, xp, a_s, a_d) ** 2).sum()
+
+    def loss_e(xp, a_s, a_d):
+        return (gat_aggregate(g_e, xp, a_s, a_d) ** 2).sum()
+
+    gb = jax.grad(loss_b, argnums=(0, 1, 2))(xp, a_s, a_d)
+    ge = jax.grad(loss_e, argnums=(0, 1, 2))(xp, a_s, a_d)
+    for a, b in zip(gb, ge):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4
+        )
+
+
+def test_trainer_gat_bsda_end_to_end(tmp_path):
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
+
+    processed = str(tmp_path / "pg")
+    build_graph.main({
+        "seed": 2, "t_train_end": 5, "t_val_end": 7, "t_max": 9,
+        "synthetic": True, "synthetic_nodes": 900,
+        "processed_dir": processed, "data_dir": str(tmp_path / "rg"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "og"), "arch": "gat",
+        "hidden_dim": 16, "layers": 2, "heads": 4, "dropout": 0.0,
+        "lr": 0.01, "weight_decay": 0.0, "max_epochs": 4, "patience": 4,
+        "calibrate_temperature": False,
+    }
+    m_b = train_gnn.main(dict(base, run_name="gat_bsda", aggregation="bsda"))
+    m_e = train_gnn.main(dict(base, run_name="gat_ell", aggregation="ell"))
+    assert abs(m_b["pr_auc_illicit"] - m_e["pr_auc_illicit"]) < 2e-3
