@@ -19,6 +19,10 @@ def spmm(g, x, compute_dtype=None):
     from .pallas_spmm import PallasSpmmGraph, pallas_spmm_apply
 
     if isinstance(g, BsdaGraph):
+        if g.use_pallas_kernel:
+            from .pallas_bsda import pallas_bsda_spmm
+
+            return pallas_bsda_spmm(g, x, compute_dtype=compute_dtype)
         return bsda_spmm(g, x, compute_dtype=compute_dtype)
     if isinstance(g, PallasSpmmGraph):
         return pallas_spmm_apply(g, x, compute_dtype=compute_dtype)

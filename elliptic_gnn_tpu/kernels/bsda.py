@@ -43,7 +43,8 @@ CHUNK = 128
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose"],
-    meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name", "chunk"],
+    meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name",
+                 "chunk", "use_pallas_kernel"],
 )
 @dataclasses.dataclass
 class BsdaGraph:
@@ -65,6 +66,10 @@ class BsdaGraph:
     n_pad: int
     a_dtype_name: str
     chunk: int = CHUNK
+    # route through the Pallas block-accumulate kernel (pallas_bsda.py)
+    # instead of the XLA einsum — currently slower on the v5e (see
+    # docs/PERF_NOTES.md) but kept selectable as the tuning target
+    use_pallas_kernel: bool = False
     # optional A^T encoding: when present, bsda_spmm routes gradients
     # through a *forward* pass on the transpose (custom VJP) instead of
     # autodiff's chunk scatter-add — ~2x faster backward

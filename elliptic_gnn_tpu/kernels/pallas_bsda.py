@@ -1,0 +1,147 @@
+"""Pallas BSDA-SpMM: block-sparse dense aggregation with zero row gathers.
+
+The XLA BSDA path (kernels/bsda.py) materializes the gathered source chunks
+x3[src_chunk] — a [B, D, C, F] HBM round-trip that dominates its runtime.
+This kernel removes it: source chunks are selected at *block* granularity
+through a scalar-prefetched BlockSpec index_map, so each [C, F] chunk flows
+HBM -> VMEM -> MXU exactly once per slot, and the output chunk accumulates
+in VMEM across the D slots (classic revisited-output accumulation):
+
+    grid = (B, n_ft, D)       # D innermost: accumulate, then flush
+    a block    [C, C]   <- a[b, d]
+    x block    [C, FT]  <- x3[src_chunk[b, d], :, ft]     (scalar prefetch)
+    out block  [C, FT]  += a @ x                          (MXU)
+
+Ideal traffic: A once + x D-times + out once — ~0.5 ms f32 at Elliptic
+scale vs ~1.0 ms for the XLA path. The residual spill still runs in XLA
+(it is a few % of edges). Backward = the same kernel on the transposed
+encoding (jax.custom_vjp), like bsda_spmm.
+
+Works under interpret mode off-TPU; compiles with Mosaic on TPU (no
+dynamic gathers — the unsupported op that blocks pallas_spmm.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsda import BsdaGraph
+
+FEAT_TILE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
+    n0, f0 = x.shape
+    c = g.chunk
+    b = g.num_chunks
+    d = g.depth
+
+    pad_f = (-f0) % FEAT_TILE
+    if pad_f:
+        x = jnp.concatenate([x, jnp.zeros((n0, pad_f), x.dtype)], axis=1)
+    pad_n = b * c - n0
+    if pad_n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_n, x.shape[1]), x.dtype)], axis=0
+        )
+    f = x.shape[1]
+    n_ft = f // FEAT_TILE
+    x3 = x.reshape(b, c, f)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # src_chunk table
+        grid=(b, n_ft, d),  # d innermost: revisit the output block
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, c, c),
+                lambda bi, ft, di, src: (bi, di, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c, FEAT_TILE),
+                lambda bi, ft, di, src: (src[bi, di], 0, ft),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, FEAT_TILE),
+            lambda bi, ft, di, src: (bi, 0, ft),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def kernel(src_ref, a_ref, x_ref, out_ref):
+        di = pl.program_id(2)
+
+        @pl.when(di == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[0] += jax.lax.dot(
+            a_ref[0, 0].astype(x_ref.dtype), x_ref[0],
+            preferred_element_type=out_ref.dtype,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, f), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * d * c * c * f,
+            bytes_accessed=(
+                int(np.prod(g.a.shape)) * g.a.dtype.itemsize
+                + b * d * c * f * x.dtype.itemsize
+                + b * c * f * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(g.src_chunk, g.a, x3)
+
+    out = out.reshape(b * c, f)[:n0, :f0]
+    if g.residual is not None:
+        from .bsda import _residual_spmm
+
+        spill = _residual_spmm(g.residual, x[:n0, :f0], None)
+        out = out.at[g.residual_rows].add(
+            spill, unique_indices=True, indices_are_sorted=True
+        )
+    return out
+
+
+def pallas_bsda_spmm(g: BsdaGraph, x: jnp.ndarray,
+                     compute_dtype=None) -> jnp.ndarray:
+    """out = A_w @ x via the Pallas block-accumulate kernel; gradients flow
+    through the transposed encoding when present, else through the XLA path
+    (autodiff can't see inside pallas_call)."""
+    out_dtype = x.dtype
+    xc = x.astype(compute_dtype) if compute_dtype is not None else x
+
+    if g.transpose is not None:
+        g_t = g.transpose
+
+        @jax.custom_vjp
+        def fwd(xc):
+            return _forward(g, xc)
+
+        def f_fwd(xc):
+            return _forward(g, xc), None
+
+        def f_bwd(_res, ct):
+            return (_forward(g_t, ct.astype(xc.dtype)),)
+
+        fwd.defvjp(f_fwd, f_bwd)
+        return fwd(xc).astype(out_dtype)
+    return _forward(g, xc).astype(out_dtype)

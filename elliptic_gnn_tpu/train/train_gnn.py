@@ -116,6 +116,8 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
         return "ell"
     if mode == "auto":
         return "bsda"
+    if mode == "bsda_pallas":
+        return "bsda_pallas"
     if mode == "pallas_block":
         ts = data.timestep
         intra = bool((ts[data.edge_index[0]] == ts[data.edge_index[1]]).all())
@@ -137,7 +139,7 @@ def build_train_state(cfg: dict, data, seed: int):
         )
     kind = MODEL_GRAPH_KIND[arch]
     agg = _pick_aggregation(cfg, data, kind)
-    if agg == "bsda":
+    if agg in ("bsda", "bsda_pallas"):
         # BFS renumbering groups connected neighborhoods into contiguous
         # MXU chunks; artifacts translate back via data.orig_index.
         from ..kernels.bsda import bfs_order, build_bsda_for_kind
@@ -149,6 +151,17 @@ def build_train_state(cfg: dict, data, seed: int):
             depth=int(cfg.get("bsda_depth", 2)),
             a_dtype="bfloat16" if cfg.get("amp", False) else "float32",
         )
+        if agg == "bsda_pallas":
+            import dataclasses
+
+            gops = dataclasses.replace(gops, use_pallas_kernel=True)
+            if gops.transpose is not None:
+                gops = dataclasses.replace(
+                    gops,
+                    transpose=dataclasses.replace(
+                        gops.transpose, use_pallas_kernel=True
+                    ),
+                )
     elif agg == "pallas_block":
         # Pallas block kernel wants nodes sorted by timestep (block-diagonal
         # adjacency); output already lands in node order.

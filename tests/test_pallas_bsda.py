@@ -1,0 +1,69 @@
+"""Pallas BSDA-SpMM kernel (scalar-prefetch chunk selection, revisited
+output accumulation): interpret-mode numerics vs the XLA BSDA path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from elliptic_gnn_tpu.kernels.bsda import (
+    bfs_order,
+    bsda_spmm,
+    build_bsda,
+    build_bsda_for_kind,
+)
+from elliptic_gnn_tpu.kernels.pallas_bsda import pallas_bsda_spmm
+from tests.test_bsda import _graph
+
+
+@pytest.mark.parametrize("mean", [False, True])
+def test_pallas_bsda_matches_xla(mean):
+    n, f = 900, 96  # f not a FEAT_TILE multiple -> exercises padding
+    ei, block_ids = _graph(n, 4, 2.0, seed=23)
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    g = build_bsda(ei_r, n, mean=mean, depth=2)
+    out_p = np.asarray(pallas_bsda_spmm(g, x))
+    out_x = np.asarray(bsda_spmm(g, x))
+    np.testing.assert_allclose(out_p, out_x, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bsda_with_spill_and_weights():
+    n, f = 600, 128
+    rng = np.random.default_rng(29)
+    ei, block_ids = _graph(n, 3, 1.5, seed=29)
+    far = np.stack([rng.integers(0, n, 80), rng.integers(0, n, 80)])
+    ei = np.concatenate([ei, far], axis=1).astype(np.int64)
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    w = rng.random(ei_r.shape[1]).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    g = build_bsda(ei_r, n, edge_weights=w, depth=2)
+    assert g.residual is not None
+    np.testing.assert_allclose(
+        np.asarray(pallas_bsda_spmm(g, x)),
+        np.asarray(bsda_spmm(g, x)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pallas_bsda_grad_via_transpose():
+    n, f = 500, 32
+    ei, block_ids = _graph(n, 3, 2.0, seed=31)
+    rank = bfs_order(ei, n, block_ids)
+    ei_r = rank[ei].astype(np.int64)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    g = build_bsda_for_kind(ei_r, n, "sage", transpose=True)
+    _, vjp_p = jax.vjp(lambda x: pallas_bsda_spmm(g, x), x)
+    _, vjp_x = jax.vjp(lambda x: bsda_spmm(g, x), x)
+    np.testing.assert_allclose(
+        np.asarray(vjp_p(ct)[0]), np.asarray(vjp_x(ct)[0]),
+        rtol=1e-4, atol=1e-5,
+    )
