@@ -117,3 +117,32 @@ def test_build_graph_cli_synthetic(tmp_path):
     assert not (d.train_mask & d.val_mask).any()
     assert not (d.val_mask & d.test_mask).any()
     assert not (d.train_mask & d.test_mask).any()
+
+
+def test_ingest_classes_timestep_column(tmp_path):
+    """classes.csv carrying a time_step column is the preferred timestep
+    source (dataset_elliptic.py:80-106 semantics: CLASSES wins)."""
+    import numpy as np
+
+    from elliptic_gnn_tpu.graph import synthetic
+    from elliptic_gnn_tpu.graph.ingest import load_elliptic_as_graph
+
+    d = synthetic.generate(num_nodes=200, num_timesteps=6, seed=9)
+    synthetic.write_raw_csvs(d, str(tmp_path), seed=11)
+
+    # rewrite classes.csv with a time_step column for EVERY node
+    feats = np.loadtxt(
+        tmp_path / "elliptic_txs_features.csv", delimiter=",", usecols=(0, 1)
+    )
+    tx_ids = feats[:, 0].astype(np.int64)
+    lines = ["txId,time_step,class"]
+    for tx, ts, y in zip(tx_ids, d.timestep, d.y):
+        cls = "unknown" if y == -1 else ("1" if y == 1 else "2")
+        lines.append(f"{tx},{ts},{cls}")
+    (tmp_path / "elliptic_txs_classes.csv").write_text("\n".join(lines) + "\n")
+
+    d2, meta = load_elliptic_as_graph(str(tmp_path))
+    assert meta["timestep_source"] == "CLASSES"
+    np.testing.assert_array_equal(d2.timestep, d.timestep)
+    np.testing.assert_array_equal(d2.y, d.y)
+    assert d2.num_edges == d.num_edges
