@@ -20,3 +20,14 @@ Layer map (SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+# Platform override that works even when a sitecustomize pre-imports jax
+# and registers an accelerator plugin (env JAX_PLATFORMS is read before our
+# process can set it; jax.config still honors updates until first backend
+# use). Example: EGNN_PLATFORM=cpu for the 8-virtual-device CPU mesh.
+import os as _os
+
+if _os.environ.get("EGNN_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["EGNN_PLATFORM"])

@@ -234,10 +234,29 @@ def main(cfg: dict) -> dict:
 
 def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                           opt_state, loss_fn, logger):
-    x = jnp.asarray(data.x)
-    y_all = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))  # -1 -> 0, masked
-    t_all = jnp.asarray(data.timestep.astype(np.int32))
-    train_mask_f = jnp.asarray(data.train_mask.astype(np.float32))
+    # Multi-device: `mesh_devices: N` shards node rows + aggregation tables
+    # over an N-device `nodes` mesh (GSPMD; see parallel/). Default 1.
+    n_mesh = int(cfg.get("mesh_devices", 1) or 1)
+    row_mask = None
+    if n_mesh > 1:
+        from ..parallel import make_mesh, shard_graph_inputs
+        from ..parallel.mesh import replicated
+
+        mesh = make_mesh(n_mesh)
+        x, y_all, t_all, train_mask_f, row_mask, gops, n_pad = (
+            shard_graph_inputs(mesh, data, gops)
+        )
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        state = jax.device_put(state, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        print(f"[MESH] training sharded over {n_mesh} devices "
+              f"({n_pad} padded rows)")
+    else:
+        x = jnp.asarray(data.x)
+        y_all = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
+        t_all = jnp.asarray(data.timestep.astype(np.int32))
+        train_mask_f = jnp.asarray(data.train_mask.astype(np.float32))
     val_idx = jnp.asarray(np.where(data.val_mask)[0].astype(np.int32))
     t_idx_arg = t_all if model.uses_time_embed else None
     use_time_loss = str(cfg.get("time_loss_weighting", "none")) != "none"
@@ -254,7 +273,8 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     def epoch_step(params, state, opt_state, rng, x, gops, t_idx_arg):
         def lf(p):
             logits, new_state = model.apply(
-                p, state, x, gops, t_idx_arg, training=True, rng=rng
+                p, state, x, gops, t_idx_arg, training=True, rng=rng,
+                row_mask=row_mask,
             )
             loss = loss_fn(
                 p, logits, y_all, t_all if use_time_loss else None, train_mask_f

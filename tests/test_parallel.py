@@ -155,3 +155,30 @@ def test_sharded_bsda_step_matches_single_device():
         # Adam amplifies float reduction-order noise for near-zero-variance
         # params; bound by a fraction of one optimizer step (lr=1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=3e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_mesh_devices_config(tmp_path):
+    """mesh_devices: N in the config trains sharded end-to-end through the
+    normal CLI path and matches the single-device run (dropout 0)."""
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
+
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 1500,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "arch": "sage_resbn",
+        "hidden_dim": 16, "layers": 3, "dropout": 0.0, "lr": 0.01,
+        "weight_decay": 0.0, "max_epochs": 6, "patience": 6,
+        "time_embed_dim": 2, "time_embed_type": "sin", "max_timestep": 10,
+        "symmetrize_edges": True, "calibrate_temperature": False,
+    }
+    m1 = train_gnn.main(dict(base, run_name="mesh1"))
+    m8 = train_gnn.main(dict(base, run_name="mesh8", mesh_devices=8))
+    assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
+    assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
