@@ -11,7 +11,9 @@ This kernel exploits that:
        HBM gather, which is the current bottleneck at ~110 GB/s);
     2. for each of W neighbor slots: a *VMEM-local* row gather
        x_vmem[nbr_local[:, s]] and a weighted accumulate on the VPU;
-    3. masked store of the block's rows to the output window.
+    3. DMA the accumulated window back; TPU grid steps run sequentially,
+       so the next block's store overwrites this window's padding tail
+       (ordered overwrite — no masked stores needed).
 
   Mean aggregation is folded into the edge weights (w_e = 1/deg(dst)), so
   rows whose degree exceeds the slot width W spill into a small "overflow"

@@ -314,7 +314,11 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
 
     for epoch in range(start_epoch, int(cfg["max_epochs"]) + 1):
         if profile_dir and epoch == start_epoch + 3:
-            jax.profiler.start_trace(profile_dir)
+            try:
+                jax.profiler.start_trace(profile_dir)
+            except Exception as exc:  # profiling is best-effort on relays
+                print(f"[PROFILE] start_trace failed: {exc}")
+                profile_dir = None
         rng, step_rng = jax.random.split(rng)
         params, state, opt_state, fused = epoch_step(
             params, state, opt_state, step_rng, x, gops, t_idx_arg
@@ -322,7 +326,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         fused = np.asarray(fused)  # single host sync per epoch
         p_val, loss_f = fused[:-1], float(fused[-1])
         if profile_dir and epoch == start_epoch + 5:
-            jax.profiler.stop_trace()
+            try:
+                jax.profiler.stop_trace()
+            except Exception as exc:
+                print(f"[PROFILE] stop_trace failed: {exc}")
 
         pr_val = 0.0 if p_val.size == 0 else M.pr_auc_illicit(y_val_bin, p_val)
         logger.log_epoch(epoch, loss_f, pr_val)
@@ -396,21 +403,12 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
             params, state, x, gops_abl, t_idx_arg, training=False
         )
         p_abl = probs_from_logits(np.asarray(logits_abl))
-        thr = metrics["threshold"]
         y_te = data.y[data.test_mask]
-        y_bin = (y_te == 1).astype(int)
-        p_te_abl = p_abl[data.test_mask]
-        hub_metrics = dict(
-            pr_auc_illicit=M.pr_auc_illicit(y_bin, p_te_abl),
-            roc_auc=M.roc_auc_illicit(y_bin, p_te_abl),
-            f1_illicit_at_thr=M.f1_at_threshold(y_bin, p_te_abl, thr),
-            threshold=thr,
-            precision_at_k=M.precision_at_k(y_bin, p_te_abl, int(cfg.get("topk", 100))),
-            recall_at_precision=M.recall_at_precision(
-                y_bin, p_te_abl, float(cfg.get("precision_target", 0.90) or 0.90)
-            ),
-            ece=M.expected_calibration_error(y_bin, p_te_abl),
-            n_test=int(len(y_te)),
+        hub_metrics = test_metrics_at_threshold(
+            cfg, (y_te == 1).astype(int), p_abl[data.test_mask],
+            metrics["threshold"],
+        )
+        hub_metrics.update(
             n_hubs=int(num_hubs),
             hub_fraction=frac,
             n_edges_remaining=int(ei_abl.shape[1]),
@@ -422,6 +420,25 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
     logger.close()
     print(json.dumps(metrics, indent=2))
     return metrics
+
+
+def test_metrics_at_threshold(cfg: dict, y_bin: np.ndarray, p_te: np.ndarray,
+                              thr: float) -> dict:
+    """The reference's standard test-metric block at a fixed threshold
+    (train_gnn.py:477-495), shared by the final eval, the inline hub
+    ablation, and the standalone analysis tools."""
+    return dict(
+        pr_auc_illicit=M.pr_auc_illicit(y_bin, p_te),
+        roc_auc=M.roc_auc_illicit(y_bin, p_te),
+        f1_illicit_at_thr=M.f1_at_threshold(y_bin, p_te, thr),
+        threshold=float(thr),
+        precision_at_k=M.precision_at_k(y_bin, p_te, int(cfg.get("topk", 100))),
+        recall_at_precision=M.recall_at_precision(
+            y_bin, p_te, float(cfg.get("precision_target", 0.90) or 0.90)
+        ),
+        ece=M.expected_calibration_error(y_bin, p_te),
+        n_test=int(len(y_bin)),
+    )
 
 
 def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
@@ -462,19 +479,8 @@ def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
         thr, _ = M.pick_threshold_max_f1((y_te == 1).astype(int), p_te)
 
     y_bin = (y_te == 1).astype(int)
-    metrics = dict(
-        pr_auc_illicit=M.pr_auc_illicit(y_bin, p_te),
-        roc_auc=M.roc_auc_illicit(y_bin, p_te),
-        f1_illicit_at_thr=M.f1_at_threshold(y_bin, p_te, thr),
-        threshold=thr,
-        precision_at_k=M.precision_at_k(y_bin, p_te, int(cfg.get("topk", 100))),
-        recall_at_precision=M.recall_at_precision(
-            y_bin, p_te, float(cfg.get("precision_target", 0.90) or 0.90)
-        ),
-        ece=M.expected_calibration_error(y_bin, p_te),
-        n_test=int(len(y_te)),
-        best_val_pr_auc=best_val,
-    )
+    metrics = test_metrics_at_threshold(cfg, y_bin, p_te, thr)
+    metrics["best_val_pr_auc"] = best_val
 
     test_ts = timestep_np[test_mask]
     if test_ts.size > 0:
