@@ -211,3 +211,24 @@ def test_sweep_gnn(env, monkeypatch, tmp_path):
     rows2 = sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
                                 output_root=out_root)
     assert all(r["dt_seconds"] == 0.0 for r in rows2)
+
+
+def test_predict_cli(env):
+    from elliptic_gnn_tpu.train import predict as P
+
+    _run_cli(P.main, [
+        "x", "--run_dir", env["runA"], "--processed_dir", env["processed"],
+        "--splits", "test",
+    ])
+    import csv
+
+    path = os.path.join(env["runA"], "predictions.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and {"node_idx", "score_illicit", "flagged"} == set(rows[0])
+    scores = np.array([float(r["score_illicit"]) for r in rows])
+    assert (scores >= 0).all() and (scores <= 1).all()
+    # consistency with the stored test artifacts
+    stored_idx = np.load(os.path.join(env["runA"], "node_idx_test.npy"))
+    got_idx = np.array([int(r["node_idx"]) for r in rows])
+    np.testing.assert_array_equal(np.sort(got_idx), np.sort(stored_idx))
