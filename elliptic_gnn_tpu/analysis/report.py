@@ -14,7 +14,6 @@ import argparse
 import base64
 import html
 import json
-import os
 from pathlib import Path
 
 METRIC_COLS = [

@@ -12,7 +12,7 @@ emit CSVs in the reference's raw format to exercise the ingest path
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 

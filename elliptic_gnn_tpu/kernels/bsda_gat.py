@@ -20,7 +20,6 @@ Heads are processed sequentially to bound transient memory at one
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

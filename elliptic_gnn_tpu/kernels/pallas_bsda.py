@@ -22,7 +22,6 @@ dynamic gathers — the unsupported op that blocks pallas_spmm.py).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -23,12 +23,12 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..kernels.bsda import BsdaGraph
@@ -202,7 +202,6 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
     p_rep = P()
     p_row = P(NODE_AXIS)
     p_row2 = P(NODE_AXIS, None)
-    p_dev_stack = jax.tree_util.tree_map(lambda _: None, None)  # unused
 
     sg_specs = ShardedBsda(
         a=P(NODE_AXIS, None, None, None, None),

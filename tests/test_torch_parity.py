@@ -249,3 +249,65 @@ def test_temperature_matches_torch_lbfgs():
     opt.step(closure)
     t_torch = float(t_param.detach())
     np.testing.assert_allclose(t_j, t_torch, rtol=1e-2)
+
+
+def test_full_sage_resbn_forward_matches_torch():
+    """Whole-model parity: SAGE-ResBN (BN train mode + residual projections
+    + sin time embeds) vs an independent torch assembly with transplanted
+    weights — the north star's per-layer/model allclose check."""
+    import math
+
+    n, f_in, hidden, layers = 80, 20, 16, 3
+    max_t = 12
+    ei = _graph(n, 300, seed=41)
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((n, f_in)).astype(np.float32)
+    t_idx = rng.integers(1, max_t + 1, n).astype(np.int32)
+
+    cfg = {
+        "hidden_dim": hidden, "layers": layers, "dropout": 0.0,
+        "use_bn": True, "residual": True, "time_embed_dim": 2,
+        "time_embed_type": "sin", "max_timestep": max_t,
+    }
+    model = build_model("sage_resbn", f_in, cfg)
+    params, state = model.init(jax.random.key(3))
+    g = prepare_graph_ops(ei, n, "sage")
+
+    logits_j, _ = model.apply(
+        params, state, jnp.asarray(x), g, jnp.asarray(t_idx), training=True
+    )
+
+    # ---- torch assembly ----
+    tt = torch.from_numpy
+    # sinusoid (reference formula)
+    t_c = torch.clamp(tt(t_idx).long() - 1, 0, max_t - 1).float()
+    t_n = t_c / max(float(max_t - 1), 1.0)
+    freqs = torch.arange(1, 2).float() * (2.0 * math.pi)
+    ang = t_n.unsqueeze(1) * freqs.unsqueeze(0)
+    h = torch.cat([tt(x), torch.sin(ang), torch.cos(ang)], dim=1)
+
+    eit = tt(ei)
+    for li in range(layers - 1):
+        p = params["layers"][li]
+        h_in = h
+        h = torch_sage_conv(
+            h, eit, tt(np.asarray(p["w_l"])), tt(np.asarray(p["b_l"])),
+            tt(np.asarray(p["w_r"])),
+        )
+        bnp = params["bns"][li]
+        bn = torch.nn.BatchNorm1d(hidden, momentum=0.1, eps=1e-5)
+        with torch.no_grad():
+            bn.weight.copy_(tt(np.asarray(bnp["scale"])))
+            bn.bias.copy_(tt(np.asarray(bnp["bias"])))
+        bn.train()
+        h = torch.relu(bn(h))
+        proj = params["res_projs"][li]
+        h = h + (h_in if proj is None else h_in @ tt(np.asarray(proj["w"])))
+    p = params["layers"][-1]
+    logits_t = torch_sage_conv(
+        h, eit, tt(np.asarray(p["w_l"])), tt(np.asarray(p["b_l"])),
+        tt(np.asarray(p["w_r"])),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.detach().numpy(), rtol=2e-3, atol=2e-4
+    )
