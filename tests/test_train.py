@@ -191,3 +191,23 @@ def test_best_ckpt_roundtrip(processed, tmp_path):
     leaf1 = jax.tree_util.tree_leaves(params)[0]
     assert leaf0.shape == leaf1.shape
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_empty_window_raises(processed, tmp_path):
+    """A rolling window pushed past the data must fail loudly, like the
+    reference's empty-mask RuntimeErrors (train_gnn.py:305-311)."""
+    import pytest as _pytest
+
+    cfg = _base_cfg(processed, tmp_path, "sage", run_name="bad_window")
+    # t_train_end is 10 in the fixture; a window starting beyond max ts is
+    # fine, but an empty TRAIN mask must raise: build one by re-masking
+    from elliptic_gnn_tpu.graph import load_processed, make_temporal_masks
+    from elliptic_gnn_tpu.graph.data import save_processed
+
+    d = load_processed(processed)
+    d = make_temporal_masks(d, t_train_end=0, t_val_end=13)  # empty train
+    bad_dir = str(tmp_path / "bad_processed")
+    save_processed(d, bad_dir)
+    cfg = dict(cfg, processed_dir=bad_dir, train_window_k=3)
+    with _pytest.raises(RuntimeError, match="Train mask is empty"):
+        train_gnn.main(cfg)
