@@ -154,6 +154,16 @@ def load_elliptic_as_graph(
         if feat_has_ts:
             missing = timestep == 0
             timestep[missing] = feat_ts[missing]
+        n_unresolved = int((timestep == 0).sum())
+        if n_unresolved:
+            # the reference would fail loudly on the NaN join here; these
+            # rows are unlabeled so splits are unaffected, but t=0 (outside
+            # the documented 1..T range) would feed time embeddings silently
+            warnings.warn(
+                f"{n_unresolved} feature rows missing from classes.csv keep "
+                "timestep=0 (outside 1..T); they are unlabeled but feed t=0 "
+                "into time embeddings and message passing."
+            )
     elif feat_has_ts:
         ts_source = "FEATURES"
         timestep = feat_ts.copy()

@@ -81,10 +81,26 @@ def bfs_order(edge_index: np.ndarray, num_nodes: int,
     """rank[old_id] = new_id: BFS order over the undirected graph within
     each block (components contiguous), blocks kept in order.
 
+    Both the native and Python BFS seed start nodes in node-id order, so
+    when node ids are not already sorted by block we relabel into
+    (block, id) order first and compose — otherwise chunks would
+    interleave blocks and BSDA spill would silently grow on inputs not
+    pre-sorted by timestep.
+
     Uses the native C++ BFS (native/egnn_native.cpp) when built — ~20x
     faster at Elliptic scale; the Python fallback below may order a
     component's interior differently (neighbor tie-breaking) but both are
     deterministic and valid clusterings."""
+    block_ids = np.asarray(block_ids)
+    if block_ids.size == num_nodes and np.any(np.diff(block_ids) < 0):
+        # relabel[old] = position in (block, id) order
+        relabel = np.argsort(
+            np.argsort(block_ids, kind="stable"), kind="stable"
+        ).astype(np.int64)
+        ei_rel = relabel[np.asarray(edge_index, np.int64)]
+        rank_rel = bfs_order(ei_rel, num_nodes, block_ids[np.argsort(relabel)])
+        return rank_rel[relabel].astype(np.int32)
+
     from ..native import bfs_order as native_bfs
 
     rank_c = native_bfs(edge_index[0], edge_index[1], num_nodes)

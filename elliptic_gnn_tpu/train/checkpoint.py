@@ -82,26 +82,47 @@ def load_best(outdir: str, params_template, state_template):
 
 
 def save_resume(outdir: str, params, state, opt_state, epoch: int, best_val: float,
-                bad_epochs: int) -> None:
+                bad_epochs: int, best_params=None, best_state=None) -> None:
+    """Persist current + best model so a resumed run whose post-resume epochs
+    never beat the stored best_val still finalizes the true best model
+    (without these, best.ckpt/metrics.json would silently disagree)."""
+    tree = {"params": params, "state": state, "opt_state": opt_state}
+    if best_params is not None:
+        tree["best_params"] = best_params
+        tree["best_state"] = best_state
     save_pytree(
-        os.path.join(outdir, "resume.ckpt"),
-        {"params": params, "state": state, "opt_state": opt_state},
+        os.path.join(outdir, "resume.ckpt"), tree,
         extra_scalars={"epoch": epoch, "best_val": best_val, "bad": bad_epochs},
     )
 
 
 def load_resume(outdir: str, params_t, state_t, opt_state_t):
-    tree, scal = load_into_pytree(
-        os.path.join(outdir, "resume.ckpt"),
-        {"params": params_t, "state": state_t, "opt_state": opt_state_t},
-    )
+    """Returns (params, state, opt_state, epoch, best_val, bad,
+    best_params, best_state). Checkpoints written before best-model
+    tracking restore with best=current and best_val reset to -1 so the
+    best is re-established rather than silently mismatched."""
+    path = os.path.join(outdir, "resume.ckpt")
+    template = {"params": params_t, "state": state_t, "opt_state": opt_state_t,
+                "best_params": params_t, "best_state": state_t}
+    try:
+        tree, scal = load_into_pytree(path, template)
+        best_params, best_state = tree["best_params"], tree["best_state"]
+        best_val = float(scal["best_val"])
+    except KeyError:
+        tree, scal = load_into_pytree(
+            path, {"params": params_t, "state": state_t, "opt_state": opt_state_t}
+        )
+        best_params, best_state = tree["params"], tree["state"]
+        best_val = -1.0
     return (
         tree["params"],
         tree["state"],
         tree["opt_state"],
         int(scal["epoch"]),
-        float(scal["best_val"]),
+        best_val,
         int(scal["bad"]),
+        best_params,
+        best_state,
     )
 
 

@@ -125,6 +125,11 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
             print("[PALLAS] cross-block edges; falling back to ELL")
             return "ell"
         return "pallas_block"
+    if mode not in ("bsda", "ell", "shard_map"):
+        raise ValueError(
+            f"Unknown aggregation {mode!r}; expected one of "
+            "auto/bsda/bsda_pallas/pallas_block/ell/shard_map"
+        )
     return str(mode)
 
 
@@ -301,10 +306,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     ckpt_every = int(cfg.get("checkpoint_every", 0) or 0)
 
     if cfg.get("resume", False) and checkpoint.has_resume(outdir):
-        params, state, opt_state, start_epoch, best_val, bad = checkpoint.load_resume(
+        (params, state, opt_state, start_epoch, best_val, bad,
+         best_params, best_state) = checkpoint.load_resume(
             outdir, params, state, opt_state
         )
-        best_params, best_state = params, state
         start_epoch += 1
         print(f"[RESUME] from epoch {start_epoch} (best_val={best_val:.4f})")
 
@@ -348,7 +353,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                 f"val PR-AUC(illicit) {pr_val:.4f} (best {best_val:.4f})"
             )
         if ckpt_every and epoch % ckpt_every == 0:
-            checkpoint.save_resume(outdir, params, state, opt_state, epoch, best_val, bad)
+            checkpoint.save_resume(
+                outdir, params, state, opt_state, epoch, best_val, bad,
+                best_params=best_params, best_state=best_state,
+            )
         if bad >= patience:
             print("Early stopping.")
             break

@@ -287,3 +287,26 @@ def test_trainer_gat_bsda_end_to_end(tmp_path):
     m_b = train_gnn.main(dict(base, run_name="gat_bsda", aggregation="bsda"))
     m_e = train_gnn.main(dict(base, run_name="gat_ell", aggregation="ell"))
     assert abs(m_b["pr_auc_illicit"] - m_e["pr_auc_illicit"]) < 2e-3
+
+
+def test_bfs_order_honors_interleaved_blocks():
+    """Nodes NOT pre-sorted by block must still get block-contiguous chunks
+    (ADVICE round 1: block_ids was previously ignored)."""
+    rng = np.random.default_rng(0)
+    n = 400
+    block = rng.integers(0, 4, size=n).astype(np.int64)  # interleaved
+    # random intra-block edges
+    srcs, dsts = [], []
+    for b in range(4):
+        ids = np.where(block == b)[0]
+        e = rng.integers(0, ids.size, size=(2, 150))
+        srcs.append(ids[e[0]])
+        dsts.append(ids[e[1]])
+    ei = np.stack([np.concatenate(srcs), np.concatenate(dsts)])
+    rank = bfs_order(ei, n, block)
+    assert sorted(rank.tolist()) == list(range(n))
+    # new order must visit blocks contiguously: block of each new position
+    block_by_new = np.empty(n, np.int64)
+    block_by_new[rank] = block
+    changes = int((np.diff(block_by_new) != 0).sum())
+    assert changes == 3, f"blocks interleaved after BFS ({changes} switches)"
