@@ -44,7 +44,7 @@ CHUNK = 128
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose"],
     meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name",
-                 "chunk", "use_pallas_kernel"],
+                 "chunk", "use_pallas_kernel", "max_chunk_dist"],
 )
 @dataclasses.dataclass
 class BsdaGraph:
@@ -74,6 +74,11 @@ class BsdaGraph:
     # through a *forward* pass on the transpose (custom VJP) instead of
     # autodiff's chunk scatter-add — ~2x faster backward
     transpose: Optional["BsdaGraph"] = None
+    # max |src_chunk - dst_chunk| over kept slots: BFS clustering keeps this
+    # tiny (<= 2 at Elliptic scale), which the banded Pallas kernel
+    # (pallas_bsda.py) exploits — source chunks come from a prev/cur/next
+    # window of auto-pipelined blocks instead of gathers or per-chunk DMAs
+    max_chunk_dist: int = 0
 
 
 def bfs_order(edge_index: np.ndarray, num_nodes: int,
@@ -253,6 +258,9 @@ def build_bsda(
         n_pad=n_padded - num_nodes,
         a_dtype_name=a_dtype,
         chunk=chunk,
+        max_chunk_dist=int(
+            np.abs(src_chunk - np.arange(b, dtype=np.int64)[:, None]).max()
+        ) if b else 0,
     )
 
 
