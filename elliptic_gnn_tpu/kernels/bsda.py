@@ -42,7 +42,8 @@ CHUNK = 128
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose"],
+    data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose",
+                 "dst_scale", "src_scale"],
     meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name",
                  "chunk", "use_pallas_kernel", "max_chunk_dist"],
 )
@@ -79,6 +80,14 @@ class BsdaGraph:
     # (pallas_bsda.py) exploits — source chunks come from a prev/cur/next
     # window of auto-pipelined blocks instead of gathers or per-chunk DMAs
     max_chunk_dist: int = 0
+    # factored-scale encoding (a_dtype int8): `a` holds integer edge
+    # multiplicities and the true edge weight is
+    #   w_e = dst_scale[dst] * src_scale[src] * mult_e
+    # (either scale may be None = ones). Shrinks the A-table 4x vs f32 —
+    # the dominant HBM stream — while the tiny [B*C] scale vectors live
+    # wholly in VMEM. SAGE mean: dst_scale = 1/deg; GCN: both = deg^-1/2.
+    dst_scale: Optional[jnp.ndarray] = None
+    src_scale: Optional[jnp.ndarray] = None
 
 
 def bfs_order(edge_index: np.ndarray, num_nodes: int,
@@ -153,11 +162,20 @@ def build_bsda(
     depth: int = 2,
     a_dtype: str = "float32",
     chunk: int = CHUNK,
+    residual_weights: Optional[np.ndarray] = None,
+    dst_scale: Optional[np.ndarray] = None,
+    src_scale: Optional[np.ndarray] = None,
 ) -> BsdaGraph:
     """Pack a (BFS-renumbered) graph into dense chunk blocks + residual.
 
     Call AFTER renumbering nodes with bfs_order (the builder does not
     reorder; it reports spill stats for the given ordering).
+
+    Factored-scale form (a_dtype "int8"): pass integer `edge_weights`
+    (multiplicities) plus `dst_scale`/`src_scale` [num_nodes] vectors and
+    the TRUE float weights as `residual_weights` — spill edges bypass the
+    scale factoring (they are computed at full weights in the XLA residual
+    and added after the dense part is scaled).
     """
     src = np.asarray(edge_index[0], np.int64)
     dst = np.asarray(edge_index[1], np.int64)
@@ -170,6 +188,10 @@ def build_bsda(
     if mean:
         deg = np.bincount(dst, minlength=num_nodes)
         w_all = w_all / np.maximum(deg[dst], 1).astype(np.float32)
+    w_res = (
+        w_all if residual_weights is None
+        else np.asarray(residual_weights, np.float32)
+    )
 
     b = (num_nodes + chunk - 1) // chunk
     n_padded = b * chunk
@@ -239,13 +261,20 @@ def build_bsda(
         rows, r_dst_compact = np.unique(r_dst, return_inverse=True)
         r_ei = np.stack([r_src, r_dst_compact])
         residual = build_ell_graph(
-            r_ei, rows.size, edge_weights=w_all[~in_dense], mean=False
+            r_ei, rows.size, edge_weights=w_res[~in_dense], mean=False
         )
         residual_rows = jnp.asarray(rows.astype(np.int32))
     print(
         f"[BSDA] chunks={b} depth={depth} dense_edges={int(in_dense.sum())} "
         f"spill_edges={n_spill} ({n_spill / max(e,1):.1%})"
     )
+
+    def pad_scale(s):
+        if s is None:
+            return None
+        out = np.zeros(n_padded, np.float32)
+        out[:num_nodes] = np.asarray(s, np.float32)
+        return jnp.asarray(out)
 
     return BsdaGraph(
         a=jnp.asarray(a.astype(np.dtype(a_dtype))),
@@ -261,6 +290,8 @@ def build_bsda(
         max_chunk_dist=int(
             np.abs(src_chunk - np.arange(b, dtype=np.int64)[:, None]).max()
         ) if b else 0,
+        dst_scale=pad_scale(dst_scale),
+        src_scale=pad_scale(src_scale),
     )
 
 
@@ -297,6 +328,9 @@ def _bsda_spmm_impl(g: BsdaGraph, x: jnp.ndarray,
     n_target = g.num_chunks * chunk
     pad = n_target - n0
     assert pad >= 0, (n0, n_target)
+    if g.src_scale is not None:
+        # column scale of the factored encoding; fuses into the chunk gather
+        xc = xc * g.src_scale[:n0, None].astype(xc.dtype)
     if pad:
         xc = jnp.concatenate(
             [xc, jnp.zeros((pad, f), xc.dtype)], axis=0
@@ -310,7 +344,10 @@ def _bsda_spmm_impl(g: BsdaGraph, x: jnp.ndarray,
     out = jnp.einsum(
         "bdij,bdjf->bif", a, gathered, preferred_element_type=jnp.float32
     )
-    out = out.reshape(g.num_chunks * chunk, f)[:n0].astype(out_dtype)
+    out = out.reshape(g.num_chunks * chunk, f)
+    if g.dst_scale is not None:
+        out = out * g.dst_scale[:, None]
+    out = out[:n0].astype(out_dtype)
     if g.residual is not None:
         # residual ELL gathers sources from the FULL node set but reduces
         # into compact rows; one unique-index add folds it back in
@@ -359,14 +396,50 @@ def with_transpose(g: BsdaGraph, edge_index: np.ndarray, num_nodes: int,
     return dataclasses.replace(g, transpose=g_t)
 
 
+def _with_transpose_factored(g: BsdaGraph, edge_index: np.ndarray,
+                             num_nodes: int, mult: np.ndarray,
+                             true_w: np.ndarray, dst_scale, src_scale,
+                             ) -> BsdaGraph:
+    """A^T of a factored encoding: reversed edges, multiplicities unchanged,
+    row/column scales swap roles (w_e = rs[dst]*cs[src]*m is symmetric in
+    the factor product)."""
+    rev = np.stack([edge_index[1], edge_index[0]])
+    g_t = build_bsda(
+        rev, num_nodes, edge_weights=mult, mean=False, depth=g.depth,
+        a_dtype=g.a_dtype_name, chunk=g.chunk, residual_weights=true_w,
+        dst_scale=src_scale, src_scale=dst_scale,
+    )
+    return dataclasses.replace(g, transpose=g_t)
+
+
 def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
                         depth: int = 2, a_dtype: str = "float32",
                         transpose: bool = True) -> BsdaGraph:
-    """Model-kind wrapper matching prepare_graph_ops semantics."""
+    """Model-kind wrapper matching prepare_graph_ops semantics.
+
+    a_dtype "int8" selects the factored-scale encoding (integer edge
+    multiplicities in `a` + per-node scale vectors): 4x less A-table
+    traffic, mathematically identical weights for sage/gcn whose edge
+    weights factor as dst_scale*src_scale (1/deg and deg^-1/2 resp.).
+    """
     from ..graph.transform import add_self_loops
     from .ell import gcn_norm_weights
 
+    factored = a_dtype == "int8"
     if kind == "sage":
+        if factored:
+            dst = np.asarray(edge_index[1], np.int64)
+            deg = np.bincount(dst, minlength=num_nodes)
+            ds = 1.0 / np.maximum(deg, 1).astype(np.float32)
+            mult = np.ones(edge_index.shape[1], np.float32)
+            true_w = ds[dst]
+            g = build_bsda(edge_index, num_nodes, edge_weights=mult,
+                           mean=False, depth=depth, a_dtype=a_dtype,
+                           residual_weights=true_w, dst_scale=ds)
+            if transpose:
+                g = _with_transpose_factored(
+                    g, edge_index, num_nodes, mult, true_w, ds, None)
+            return g
         g = build_bsda(edge_index, num_nodes, mean=True, depth=depth,
                        a_dtype=a_dtype)
         if transpose:
@@ -375,6 +448,22 @@ def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
     if kind == "gcn":
         ei = add_self_loops(edge_index, num_nodes)
         w = gcn_norm_weights(ei, num_nodes)
+        if factored:
+            # w_e = deg^-1/2[dst] * deg^-1/2[src] exactly (ell.py
+            # gcn_norm_weights); recover the per-node factor from degrees
+            deg = np.bincount(np.asarray(ei[1], np.int64),
+                              minlength=num_nodes).astype(np.float64)
+            s = np.zeros_like(deg)
+            nz = deg > 0
+            s[nz] = deg[nz] ** -0.5
+            s = s.astype(np.float32)
+            mult = np.ones(ei.shape[1], np.float32)
+            g = build_bsda(ei, num_nodes, edge_weights=mult, mean=False,
+                           depth=depth, a_dtype=a_dtype, residual_weights=w,
+                           dst_scale=s, src_scale=s)
+            if transpose:
+                g = _with_transpose_factored(g, ei, num_nodes, mult, w, s, s)
+            return g
         g = build_bsda(ei, num_nodes, edge_weights=w, mean=False,
                        depth=depth, a_dtype=a_dtype)
         if transpose:
@@ -386,5 +475,5 @@ def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
         # flow via autodiff (no transpose encoding)
         ei = add_self_loops(edge_index, num_nodes)
         return build_bsda(ei, num_nodes, mean=False, depth=depth,
-                          a_dtype=a_dtype)
+                          a_dtype=a_dtype if not factored else "float32")
     raise ValueError(f"BSDA supports sage/gcn/gat, not {kind!r}")

@@ -4,25 +4,29 @@ The XLA BSDA path (kernels/bsda.py) materializes the gathered source chunks
 x3[src_chunk] — a [B, D, C, F] HBM round-trip (docs/PERF_NOTES.md "What the
 compiled HLO shows"). This kernel removes it by exploiting a structural
 property of the BFS-clustered ordering: every kept source chunk lies within
-max_chunk_dist (<= 2 at Elliptic scale) of its destination chunk. Grouping
+max_chunk_dist (<= 3 at Elliptic scale) of its destination chunk. Grouping
 G >= max_chunk_dist destination chunks per grid step, all source chunks for
-the group live in the previous/current/next G-block window, so they arrive
-through three shifted auto-pipelined BlockSpecs — no row gathers, no
-per-chunk DMAs (the round-1 designs that lost to per-step overhead and to
-DMA-vs-cache asymmetry; see PERF_NOTES "round-2 Pallas iterations"):
+the group live in the previous/current/next G-block window:
 
-    grid = (B/G, F/FT)                       # ~199 steps at G=8
-    A block     [G, D, C, C]  <- a[bi*G : (bi+1)*G]       (auto-pipelined)
-    x windows   [G, C, FT] x3 <- x3 at block bi-1, bi, bi+1
-    out block   [G, C, FT]
-    kernel: for each (g, d) slot, pick the source chunk out of the 3G-wide
-    window by the prefetched src_chunk table, one MXU dot per slot,
-    accumulate in VMEM registers.
+  ring variant (single feature tile, the production shape):
+    grid = (B/G,); a 4-slot VMEM ring holds G-blocks of x — block gb lives
+    at ring slot gb % 4, one async HBM->VMEM block copy per step fetched
+    two steps ahead, so x streams exactly ONCE. A-blocks and out-blocks
+    auto-pipeline through BlockSpecs.
+  window variant (multi-tile features / tiny graphs):
+    three shifted auto-pipelined BlockSpecs stage the prev/cur/next
+    G-blocks into a VMEM scratch window (x streams 3x).
 
-bf16 A-tables dot in bf16 with f32 accumulation — the same operand demotion
-XLA applies to f32 matmuls on TPU. The residual spill (slots beyond depth,
-or outside the window on non-local graphs) runs in XLA. Backward = the same
-kernel on the transposed encoding (jax.custom_vjp), like bsda_spmm.
+Factored-scale encodings (BsdaGraph.dst_scale/src_scale, a_dtype int8)
+apply the per-node scales in-kernel: the full [B, C] scale tables are tiny
+(~0.8 MB) and live wholly in VMEM, so the dominant HBM stream is the int8
+multiplicity table — 4x smaller than f32 weights. bf16/int8 A-tables dot in
+bf16 with f32 accumulation — the same operand demotion XLA applies to f32
+matmuls on TPU.
+
+The residual spill (slots beyond depth, or outside the window on non-local
+graphs) runs in XLA. Backward = the same kernel on the transposed encoding
+(jax.custom_vjp), like bsda_spmm.
 
 Works under interpret mode off-TPU (tests); compiles with Mosaic on TPU.
 Replaces torch_scatter/pyg_lib CUDA segment kernels (reference
@@ -42,28 +46,61 @@ from .bsda import BsdaGraph
 
 FEAT_TILE = 128
 GROUP = 8  # destination chunks per grid step (also the window half-width)
+RING = 4   # x-block ring slots (window needs 3; the 4th absorbs prefetch)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("c", "g_chunks", "d", "ft"))
-def _banded_call(src_chunk, a, x3, *, c, g_chunks, d, ft):
-    """pallas_call wrapper; all encoding tables are jit arguments (closures
-    would upload hundreds of MB per executable on remote-compile relays)."""
+def _mxu_dtype(a_dtype, x_dtype):
+    # MXU runs bf16 natively (~6x the f32 rate): dot in bf16 with f32
+    # accumulation whenever either operand is already bf16 (a bf16 A-table
+    # is pre-rounded; bf16 x is the amp path — the same operand demotion
+    # XLA applies on TPU). int8 multiplicity tables follow x's dtype so
+    # f32 pipelines stay exact.
+    if a_dtype == jnp.bfloat16 or x_dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return x_dtype
+
+
+def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
+                  base, g_chunks, d, mxu):
+    """Shared inner loop: G destination chunks x D slots of MXU dots with
+    factored scales applied in-VMEM."""
+    for g_i in range(g_chunks):
+        acc = None
+        for d_i in range(d):
+            src = src_ref[base + g_i, d_i]
+            rhs = read_chunk(src).astype(mxu)
+            if ss_ref is not None:
+                rhs = rhs * ss_ref[src][:, None].astype(mxu)
+            part = jax.lax.dot(
+                a_ref[g_i, d_i].astype(mxu), rhs,
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        if ds_ref is not None:
+            acc = acc * ds_ref[base + g_i][:, None]
+        out_ref[g_i] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c", "g_chunks", "d", "ft", "has_ds", "has_ss")
+)
+def _banded_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, ft,
+                 has_ds, has_ss):
+    """Window variant: x supplied through three shifted BlockSpecs.
+    All encoding tables are jit arguments (closures would upload hundreds
+    of MB per executable on remote-compile relays)."""
     b_pad = a.shape[0]
     nb = b_pad // g_chunks
     f = x3.shape[-1]
     n_ft = f // ft
-    gd = g_chunks * d
+    mxu = _mxu_dtype(a.dtype, x3.dtype)
 
-    # MXU runs bf16 natively (~6x the f32 rate); with a bf16 A-table, feed
-    # bf16 operands with f32 accumulation — the same demotion XLA applies
-    # to f32 matmuls on TPU.
-    mxu = jnp.bfloat16 if a.dtype == jnp.bfloat16 else x3.dtype
-
-    def kernel(src_ref, a_ref, x_prv, x_cur, x_nxt, out_ref, xw):
+    def kernel(src_ref, a_ref, x_prv, x_cur, x_nxt, ds_ref, ss_ref,
+               out_ref, xw):
         bi = pl.program_id(0)
         base = bi * g_chunks
 
@@ -75,18 +112,16 @@ def _banded_call(src_chunk, a, x3, *, c, g_chunks, d, ft):
         xw[g_chunks:2 * g_chunks] = x_cur[...].astype(mxu)
         xw[2 * g_chunks:3 * g_chunks] = x_nxt[...].astype(mxu)
 
-        for g_i in range(g_chunks):
-            acc = None
-            for d_i in range(d):
-                off = src_ref[base + g_i, d_i] - base + g_chunks
-                part = jax.lax.dot(
-                    a_ref[g_i, d_i].astype(mxu),
-                    xw[off],
-                    preferred_element_type=jnp.float32,
-                )
-                acc = part if acc is None else acc + part
-            out_ref[g_i] = acc
+        def read_chunk(src):
+            return xw[src - base + g_chunks]
 
+        _slot_compute(
+            src_ref, a_ref, ds_ref if has_ds else None,
+            ss_ref if has_ss else None, out_ref, read_chunk,
+            base, g_chunks, d, mxu,
+        )
+
+    full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # src_chunk table
         grid=(nb, n_ft),
@@ -111,6 +146,8 @@ def _banded_call(src_chunk, a, x3, *, c, g_chunks, d, ft):
                 lambda bi, fi, src: (jnp.minimum(bi + 1, nb - 1), 0, fi),
                 memory_space=pltpu.VMEM,
             ),
+            full_vmem,  # dst scale [B, C], wholly VMEM-resident
+            full_vmem,  # src scale [B, C]
         ],
         out_specs=pl.BlockSpec(
             (g_chunks, c, ft),
@@ -122,7 +159,7 @@ def _banded_call(src_chunk, a, x3, *, c, g_chunks, d, ft):
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, c, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, f), x3.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -132,12 +169,116 @@ def _banded_call(src_chunk, a, x3, *, c, g_chunks, d, ft):
             bytes_accessed=(
                 int(np.prod(a.shape)) * a.dtype.itemsize
                 + 3 * b_pad * c * f * x3.dtype.itemsize
-                + b_pad * c * f * 4
+                + b_pad * c * f * x3.dtype.itemsize
             ),
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(src_chunk, a, x3, x3, x3)
+    )(src_chunk, a, x3, x3, x3, ds2, ss2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c", "g_chunks", "d", "has_ds", "has_ss")
+)
+def _ring_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, has_ds, has_ss):
+    """Ring variant (single feature tile): x stays in HBM and streams
+    exactly once through a 4-slot VMEM ring of G-blocks, fetched two grid
+    steps ahead so the copy hides behind compute. Block gb occupies ring
+    slot gb % RING, so source lookups never need relabeling."""
+    b_pad = a.shape[0]
+    nb = b_pad // g_chunks
+    f = x3.shape[-1]
+    mxu = _mxu_dtype(a.dtype, x3.dtype)
+
+    def kernel(src_ref, a_ref, x_hbm, ds_ref, ss_ref, out_ref, ring, sem):
+        bi = pl.program_id(0)
+        base = bi * g_chunks
+
+        def block_copy(gb):
+            slot = jax.lax.rem(gb, RING)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
+                ring.at[pl.ds(slot * g_chunks, g_chunks)],
+                sem,
+            )
+
+        @pl.when(bi == 0)
+        def _():
+            # warm-up: blocks 0 and 1 synchronously, then prefetch block 2
+            cp = block_copy(0)
+            cp.start()
+            cp.wait()
+
+            @pl.when(nb > 1)
+            def _():
+                cp1 = block_copy(1)
+                cp1.start()
+                cp1.wait()
+
+            @pl.when(nb > 2)
+            def _():
+                block_copy(2).start()
+
+        @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
+        def _():
+            block_copy(bi + 1).wait()  # issued two steps ago
+
+        @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
+        def _():
+            block_copy(bi + 2).start()
+
+        def read_chunk(src):
+            gb = src // g_chunks
+            return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+
+        _slot_compute(
+            src_ref, a_ref, ds_ref if has_ds else None,
+            ss_ref if has_ss else None, out_ref, read_chunk,
+            base, g_chunks, d, mxu,
+        )
+
+    full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (g_chunks, d, c, c),
+                lambda bi, src: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x3 stays in HBM
+            full_vmem,  # dst scale [B, C]
+            full_vmem,  # src scale [B, C]
+        ],
+        out_specs=pl.BlockSpec(
+            (g_chunks, c, f),
+            lambda bi, src: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((RING * g_chunks, c, f), x3.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, f), x3.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * d * c * c * f,
+            bytes_accessed=(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                + 2 * b_pad * c * f * x3.dtype.itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(src_chunk, a, x3, ds2, ss2)
 
 
 def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
@@ -152,7 +293,8 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
         return _bsda_spmm_impl(g, x, None)
 
-    pad_f = (-f0) % FEAT_TILE
+    ft = min(FEAT_TILE, f0)
+    pad_f = (-f0) % ft
     if pad_f:
         x = jnp.concatenate([x, jnp.zeros((n0, pad_f), x.dtype)], axis=1)
     pad_n = b * c - n0
@@ -163,29 +305,46 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
     f = x.shape[1]
     x3 = x.reshape(b, c, f)
 
-    # pad the chunk axis to a multiple of G (zero blocks, self-pointing srcs
-    # keep the window property; x3 is NOT padded — clamped index maps reuse
-    # the last valid block and zero A-blocks discard it)
+    # pad the chunk axis to a multiple of G (zero blocks, window-local srcs)
     pad_b = (-b) % g_chunks
     a = g.a
     src_chunk = g.src_chunk
+    b_pad = b + pad_b
     if pad_b:
         a = jnp.concatenate(
             [a, jnp.zeros((pad_b,) + a.shape[1:], a.dtype)], axis=0
         )
         src_chunk = jnp.concatenate(
-            [
-                src_chunk,
-                jnp.full((pad_b, d), b - 1, src_chunk.dtype),
-            ],
-            axis=0,
+            [src_chunk, jnp.full((pad_b, d), b - 1, src_chunk.dtype)], axis=0
         )
         x3 = jnp.concatenate(
             [x3, jnp.zeros((pad_b, c, f), x3.dtype)], axis=0
         )
 
-    out = _banded_call(src_chunk, a, x3, c=c, g_chunks=g_chunks, d=d,
-                       ft=min(FEAT_TILE, f))
+    def scale2(s):
+        if s is None:
+            return jnp.ones((b_pad, c), jnp.float32)
+        s2 = s.reshape(b, c)
+        if pad_b:
+            s2 = jnp.concatenate(
+                [s2, jnp.zeros((pad_b, c), s2.dtype)], axis=0
+            )
+        return s2
+
+    ds2 = scale2(g.dst_scale)
+    ss2 = scale2(g.src_scale)
+
+    nb = b_pad // g_chunks
+    if f == ft and nb > RING:
+        out = _ring_call(src_chunk, a, x3, ds2, ss2, c=c,
+                         g_chunks=g_chunks, d=d,
+                         has_ds=g.dst_scale is not None,
+                         has_ss=g.src_scale is not None)
+    else:
+        out = _banded_call(src_chunk, a, x3, ds2, ss2, c=c,
+                           g_chunks=g_chunks, d=d, ft=ft,
+                           has_ds=g.dst_scale is not None,
+                           has_ss=g.src_scale is not None)
 
     out = out.reshape(-1, f)[:n0, :f0]
     if g.residual is not None:
@@ -193,7 +352,8 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
         spill = _residual_spmm(g.residual, x[:n0, :f0], None)
         out = out.at[g.residual_rows].add(
-            spill, unique_indices=True, indices_are_sorted=True
+            spill.astype(out.dtype), unique_indices=True,
+            indices_are_sorted=True,
         )
     return out
 

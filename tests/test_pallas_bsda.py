@@ -67,3 +67,62 @@ def test_pallas_bsda_grad_via_transpose():
         np.asarray(vjp_p(ct)[0]), np.asarray(vjp_x(ct)[0]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_factored_int8_matches_float_xla():
+    """int8 factored encoding (multiplicities + scales) == float encoding,
+    through both the XLA impl and the banded Pallas kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from elliptic_gnn_tpu.kernels.bsda import (
+        bfs_order, build_bsda_for_kind, bsda_spmm,
+    )
+    from elliptic_gnn_tpu.kernels.pallas_bsda import pallas_bsda_spmm
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    src = rng.integers(0, n, 6000)
+    dst = rng.integers(0, n, 6000)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    rank = bfs_order(ei, n, np.zeros(n, np.int64))
+    ei = rank[ei]
+    x = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+    for kind in ("sage", "gcn"):
+        g_f = build_bsda_for_kind(ei, n, kind, depth=2)
+        g_i = build_bsda_for_kind(ei, n, kind, depth=2, a_dtype="int8")
+        y_f = np.asarray(bsda_spmm(g_f, x))
+        y_i = np.asarray(bsda_spmm(g_i, x))
+        np.testing.assert_allclose(y_i, y_f, rtol=2e-5, atol=2e-5)
+        y_p = np.asarray(pallas_bsda_spmm(g_i, x))
+        np.testing.assert_allclose(y_p, y_f, rtol=2e-5, atol=2e-5)
+        # gradients through the transposed factored encoding
+        import jax
+        g_grad_f = jax.grad(lambda z: (bsda_spmm(g_f, z) ** 2).sum())(x)
+        g_grad_p = jax.grad(lambda z: (pallas_bsda_spmm(g_i, z) ** 2).sum())(x)
+        np.testing.assert_allclose(
+            np.asarray(g_grad_p), np.asarray(g_grad_f), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_ring_variant_matches_window(monkeypatch):
+    """Force a graph large enough for the ring path and compare to XLA."""
+    import numpy as np
+    import jax.numpy as jnp
+    from elliptic_gnn_tpu.kernels import pallas_bsda as PB
+    from elliptic_gnn_tpu.kernels.bsda import (
+        bfs_order, build_bsda_for_kind, bsda_spmm,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 128 * 60  # 60 chunks; G=2 -> nb=30 > RING
+    src = rng.integers(0, n, 3 * n)
+    dst = rng.integers(0, n, 3 * n)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    rank = bfs_order(ei, n, np.zeros(n, np.int64))
+    ei = rank[ei]
+    x = jnp.asarray(rng.standard_normal((n, 128)), jnp.float32)
+    g = build_bsda_for_kind(ei, n, "sage", depth=2, a_dtype="int8")
+    monkeypatch.setattr(PB, "GROUP", max(2, g.max_chunk_dist))
+    y_ref = np.asarray(bsda_spmm(g, x))
+    y = np.asarray(PB.pallas_bsda_spmm(g, x))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
