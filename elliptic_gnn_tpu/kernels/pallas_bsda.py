@@ -293,7 +293,9 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
         return _bsda_spmm_impl(g, x, None)
 
-    ft = min(FEAT_TILE, f0)
+    # Mosaic DMA slices must be 128-lane aligned: pad features to the lane
+    # tile (hidden_dim 64 models). XLA fuses the zero-pad into the producer.
+    ft = FEAT_TILE
     pad_f = (-f0) % ft
     if pad_f:
         x = jnp.concatenate([x, jnp.zeros((n0, pad_f), x.dtype)], axis=1)

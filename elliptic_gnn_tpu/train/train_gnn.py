@@ -102,7 +102,9 @@ def prepare_data(cfg: dict):
 
 def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     """Choose the aggregation encoding:
-      'bsda'         MXU block-sparse dense (primary; sage/gcn, full-batch)
+      'bsda_pallas'  banded Pallas kernel over the int8 factored-scale
+                     encoding (primary on TPU; sage/gcn, full-batch)
+      'bsda'         MXU block-sparse dense via XLA einsum (primary off-TPU)
       'pallas_block' Pallas block-diagonal kernel (intra-timestep graphs;
                      interpret-mode off-TPU — opt-in)
       'ell'          pure-XLA gather ELL (always valid)
@@ -115,9 +117,13 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     if kind == "gat" and mode == "pallas_block":
         return "ell"
     if mode == "auto":
+        if kind in ("sage", "gcn") and jax.default_backend() == "tpu":
+            return "bsda_pallas"
         return "bsda"
     if mode == "bsda_pallas":
-        return "bsda_pallas"
+        # the banded kernel covers sage/gcn; GAT attention stays on the
+        # dense-chunk path (kernels/bsda_gat.py)
+        return "bsda" if kind == "gat" else "bsda_pallas"
     if mode == "pallas_block":
         ts = data.timestep
         intra = bool((ts[data.edge_index[0]] == ts[data.edge_index[1]]).all())
@@ -151,10 +157,16 @@ def build_train_state(cfg: dict, data, seed: int):
 
         rank = bfs_order(data.edge_index, data.num_nodes, data.timestep)
         data = data.renumber(rank)
+        if agg == "bsda_pallas":
+            # factored int8 multiplicity tables: 4x less A traffic; the
+            # banded kernel applies the per-node scales in VMEM
+            a_dtype = "int8"
+        else:
+            a_dtype = "bfloat16" if cfg.get("amp", False) else "float32"
         gops = build_bsda_for_kind(
             data.edge_index, data.num_nodes, kind,
-            depth=int(cfg.get("bsda_depth", 2)),
-            a_dtype="bfloat16" if cfg.get("amp", False) else "float32",
+            depth=int(cfg.get("bsda_depth", 3)),
+            a_dtype=a_dtype,
         )
         if agg == "bsda_pallas":
             import dataclasses
@@ -258,10 +270,35 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         print(f"[MESH] training sharded over {n_mesh} devices "
               f"({n_pad} padded rows)")
     else:
-        x = jnp.asarray(data.x)
-        y_all = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
-        t_all = jnp.asarray(data.timestep.astype(np.int32))
-        train_mask_f = jnp.asarray(data.train_mask.astype(np.float32))
+        # pad node arrays to the BSDA chunk grid once: without this every
+        # spmm call pays two full-array copies (XLA materializes the
+        # pad-concat and the [:n] slice even for a 7-row pad). Padded rows
+        # are unlabeled, edge-free, and excluded from BN via row_mask.
+        from ..kernels.bsda import BsdaGraph
+
+        n0 = data.num_nodes
+        n_target = (
+            gops.num_chunks * gops.chunk
+            if isinstance(gops, BsdaGraph) else n0
+        )
+        pad = n_target - n0
+
+        def pad_rows(a, fill=0):
+            if pad == 0:
+                return a
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, widths, constant_values=fill)
+
+        x = jnp.asarray(pad_rows(data.x))
+        y_all = jnp.asarray(pad_rows(np.maximum(data.y, 0).astype(np.int32)))
+        t_all = jnp.asarray(pad_rows(data.timestep.astype(np.int32), fill=1))
+        train_mask_f = jnp.asarray(
+            pad_rows(data.train_mask.astype(np.float32))
+        )
+        if pad:
+            row_mask = jnp.asarray(
+                (np.arange(n_target) < n0).astype(np.float32)
+            )
     val_idx = jnp.asarray(np.where(data.val_mask)[0].astype(np.int32))
     t_idx_arg = t_all if model.uses_time_embed else None
     use_time_loss = str(cfg.get("time_loss_weighting", "none")) != "none"
