@@ -354,6 +354,42 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     epochs_run = 0
     profile_dir = cfg.get("profile_dir")
 
+    def _process(ep, fused_dev, params_e, state_e, opt_e):
+        """Host-side tail of one epoch: pull the fused vector, compute val
+        PR-AUC, track best, checkpoint, decide early stop. Runs while the
+        NEXT epoch executes on device (software pipelining: the
+        device->host sync latency — ~30 ms through the axon relay —
+        overlaps the next step instead of serializing the loop)."""
+        nonlocal best_val, bad, best_params, best_state, epochs_run
+        fused_h = np.asarray(fused_dev)  # single host sync per epoch
+        p_val, loss_f = fused_h[:-1], float(fused_h[-1])
+        pr_val = 0.0 if p_val.size == 0 else M.pr_auc_illicit(y_val_bin, p_val)
+        logger.log_epoch(ep, loss_f, pr_val)
+        epochs_run += 1
+
+        if pr_val > best_val:
+            best_val = pr_val
+            best_params, best_state = params_e, state_e
+            bad = 0
+        else:
+            bad += 1
+
+        if ep % 10 == 0 or ep == 1:
+            print(
+                f"Epoch {ep:4d} | loss {loss_f:.4f} | "
+                f"val PR-AUC(illicit) {pr_val:.4f} (best {best_val:.4f})"
+            )
+        if ckpt_every and ep % ckpt_every == 0:
+            checkpoint.save_resume(
+                outdir, params_e, state_e, opt_e, ep, best_val, bad,
+                best_params=best_params, best_state=best_state,
+            )
+        if bad >= patience:
+            print("Early stopping.")
+            return True
+        return False
+
+    pending = None
     for epoch in range(start_epoch, int(cfg["max_epochs"]) + 1):
         if profile_dir and epoch == start_epoch + 3:
             try:
@@ -365,38 +401,20 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         params, state, opt_state, fused = epoch_step(
             params, state, opt_state, step_rng, x, gops, t_idx_arg
         )
-        fused = np.asarray(fused)  # single host sync per epoch
-        p_val, loss_f = fused[:-1], float(fused[-1])
         if profile_dir and epoch == start_epoch + 5:
             try:
                 jax.profiler.stop_trace()
             except Exception as exc:
                 print(f"[PROFILE] stop_trace failed: {exc}")
-
-        pr_val = 0.0 if p_val.size == 0 else M.pr_auc_illicit(y_val_bin, p_val)
-        logger.log_epoch(epoch, loss_f, pr_val)
-        epochs_run += 1
-
-        if pr_val > best_val:
-            best_val = pr_val
-            best_params, best_state = params, state
-            bad = 0
-        else:
-            bad += 1
-
-        if epoch % 10 == 0 or epoch == 1:
-            print(
-                f"Epoch {epoch:4d} | loss {loss_f:.4f} | "
-                f"val PR-AUC(illicit) {pr_val:.4f} (best {best_val:.4f})"
-            )
-        if ckpt_every and epoch % ckpt_every == 0:
-            checkpoint.save_resume(
-                outdir, params, state, opt_state, epoch, best_val, bad,
-                best_params=best_params, best_state=best_state,
-            )
-        if bad >= patience:
-            print("Early stopping.")
+        # process the PREVIOUS epoch while this one runs on device (the
+        # early-stop check therefore lags one epoch: same decisions as the
+        # reference's serial loop, one discarded in-flight epoch at stop)
+        if pending is not None and _process(*pending):
+            pending = None
             break
+        pending = (epoch, fused, params, state, opt_state)
+    if pending is not None:
+        _process(*pending)
 
     return best_params, best_state, best_val, epochs_run
 
