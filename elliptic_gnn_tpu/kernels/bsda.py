@@ -295,6 +295,45 @@ def build_bsda(
     )
 
 
+def pad_bsda_chunks(g: BsdaGraph, multiple: int) -> BsdaGraph:
+    """Pad the destination-chunk axis to a multiple (zero A-blocks,
+    self-pointing sources, zero scales) so the encoding tiles a device
+    mesh. num_nodes is unchanged; callers pad node arrays to the new
+    num_chunks * chunk grid."""
+    b = g.num_chunks
+    pad = (-b) % multiple
+    if pad == 0:
+        return g
+    a = jnp.concatenate(
+        [g.a, jnp.zeros((pad,) + g.a.shape[1:], g.a.dtype)], axis=0
+    )
+    new_ids = jnp.arange(b, b + pad, dtype=g.src_chunk.dtype)
+    src = jnp.concatenate(
+        [g.src_chunk, jnp.tile(new_ids[:, None], (1, g.depth))], axis=0
+    )
+
+    def pad_scale(s):
+        if s is None:
+            return None
+        return jnp.concatenate(
+            [s, jnp.zeros(pad * g.chunk, s.dtype)], axis=0
+        )
+
+    return dataclasses.replace(
+        g,
+        a=a,
+        src_chunk=src,
+        num_chunks=b + pad,
+        n_pad=g.n_pad + pad * g.chunk,
+        dst_scale=pad_scale(g.dst_scale),
+        src_scale=pad_scale(g.src_scale),
+        transpose=(
+            pad_bsda_chunks(g.transpose, multiple)
+            if g.transpose is not None else None
+        ),
+    )
+
+
 def bsda_spmm(g: BsdaGraph, x: jnp.ndarray,
               compute_dtype=None) -> jnp.ndarray:
     """out[d] = sum_e w_e x[src_e]: batched dense chunk matmuls + residual.

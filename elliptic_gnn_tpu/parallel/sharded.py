@@ -97,8 +97,10 @@ def shard_ell_graph(g: EllGraph, mesh: Mesh) -> EllGraph:
     )
 
 
-def shard_graph_inputs(mesh: Mesh, data, gops) -> Tuple:
+def shard_graph_inputs(mesh: Mesh, data, gops, shard_tables: bool = True) -> Tuple:
     """Place node arrays and aggregation tables on the mesh, rows sharded.
+    With shard_tables=False, gops is returned untouched (the explicit
+    shard_map path partitions its own tables via partition_bsda).
 
     Returns (x, y, timestep, train_mask_f, row_mask, gops, n_padded).
     Node arrays are padded; padded rows are unlabeled (train mask 0),
@@ -129,7 +131,7 @@ def shard_graph_inputs(mesh: Mesh, data, gops) -> Tuple:
         y = pad_rows(np.maximum(data.y, 0).astype(np.int32))
         ts = pad_rows(data.timestep.astype(np.int32), fill=1)
         tm = pad_rows(data.train_mask.astype(np.float32))
-        gops_sh = shard_bsda_graph(gops, mesh)
+        gops_sh = shard_bsda_graph(gops, mesh) if shard_tables else gops
     else:
         x = pad_to_multiple(data.x, n_dev)
         y = pad_to_multiple(np.maximum(data.y, 0).astype(np.int32), n_dev)
@@ -168,6 +170,11 @@ def shard_bsda_graph(g, mesh: Mesh):
         repl = lambda t: jax.tree_util.tree_map(
             lambda a: jax.device_put(a, rep), t
         )
+        row_sh = (
+            NamedSharding(mesh, P(NODE_AXIS))
+            if (gg.num_chunks * gg.chunk) % n_dev == 0
+            else rep
+        )
         return dataclasses.replace(
             gg,
             a=jax.device_put(gg.a, chunk_sh),
@@ -176,6 +183,14 @@ def shard_bsda_graph(g, mesh: Mesh):
             residual_rows=(
                 jax.device_put(gg.residual_rows, rep)
                 if gg.residual_rows is not None else None
+            ),
+            dst_scale=(
+                jax.device_put(gg.dst_scale, row_sh)
+                if gg.dst_scale is not None else None
+            ),
+            src_scale=(
+                jax.device_put(gg.src_scale, row_sh)
+                if gg.src_scale is not None else None
             ),
             transpose=place(gg.transpose) if gg.transpose is not None else None,
         )

@@ -1,29 +1,38 @@
 """Explicit-collective multi-chip training step (shard_map + halo exchange).
 
 The GSPMD path (parallel/sharded.py) annotates shardings and lets XLA place
-collectives. This module is the hand-scheduled counterpart for large meshes,
-written with explicit collectives so the communication pattern is visible
-and controllable (SURVEY.md §2.3: "all-to-all of boundary node features over
-ICI ... psum for gradient/BN-stat reduction"):
+collectives. This module is the hand-scheduled counterpart for large
+meshes, written with explicit collectives so the communication pattern is
+visible and controllable (SURVEY.md §2.3 halo row: "all-to-all of boundary
+node features over ICI ... overlapped with local SpMM"):
 
-  - BSDA chunk tables are SPLIT per device (each chip owns a contiguous
-    range of destination chunks; with BFS ordering the edge cut is small);
-  - each aggregation performs one `lax.all_gather` of node features over
-    the `nodes` ICI axis (the halo exchange — source chunks may live on any
-    chip), then purely local MXU chunk matmuls + the local residual;
+  - BSDA chunk tables are SPLIT per device: each chip owns a contiguous
+    range of destination chunks. With the BFS-clustered ordering every
+    source chunk lies within `max_chunk_dist` chunks of its destination
+    (kernels/bsda.py), so the only remote rows a chip ever needs are the
+    H = max_chunk_dist boundary chunks of its ring neighbors;
+  - the halo exchange is two `lax.ppermute`s moving 2*H*C rows per chip —
+    O(H*C*F) bytes over ICI instead of the O(N*F) full all_gather the
+    round-1 implementation used (~200x less at Elliptic scale / 8 chips);
+  - the diagonal-slot einsum (slot 0 is always the own-chunk block) has no
+    communication dependency, so XLA's scheduler overlaps it with the
+    ppermutes; off-diagonal slots and the residual read the halo-extended
+    buffer;
   - BatchNorm statistics and the masked loss reduce with explicit `psum`s;
   - parameter gradients all-reduce automatically: shard_map's AD transposes
-    parameter replication into `psum`, and the all_gather transposes into
-    `psum_scatter` for the feature cotangents.
+    parameter replication into `psum`, and each ppermute transposes into
+    the reverse ppermute for the halo cotangents.
 
 The step is numerically equivalent to the single-device step
-(tests/test_shardmap.py asserts it on the 8-virtual-device CPU mesh).
+(tests/test_shardmap.py asserts it on the 8-virtual-device CPU mesh), and
+is user-reachable via `aggregation: shard_map` + `mesh_devices: N` in a
+training config (train/train_gnn.py).
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,51 +47,80 @@ from .mesh import NODE_AXIS
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "src_chunk", "res_nbr", "res_w", "res_scale", "res_rows"],
-    meta_fields=["chunk", "depth", "num_chunks_global", "axis_name"],
+    data_fields=["a", "src_local", "res_nbr", "res_w", "res_rows",
+                 "dst_scale", "src_scale_ext"],
+    meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
+                 "halo_chunks", "n_dev"],
 )
 @dataclasses.dataclass
 class ShardedBsda:
     """Per-device BSDA shard, stacked over a leading device axis so
     shard_map can split it with P(axis).
 
-    a:         [n_dev, B_loc, D, C, C]
-    src_chunk: [n_dev, B_loc, D]  GLOBAL source-chunk ids
-    res_nbr:   [n_dev, R, W] int32 — residual neighbors (GLOBAL node ids);
-               padded rows have weight 0
-    res_w:     [n_dev, R, W] f32
-    res_scale: [n_dev, R] f32
-    res_rows:  [n_dev, R] int32 — LOCAL destination row of each residual row
+    a:          [n_dev, B_loc, D, C, C]
+    src_local:  [n_dev, B_loc, D]  EXT-LOCAL source-chunk ids — index into
+                the halo-extended buffer [halo_L | local | halo_R] of
+                B_loc + 2*H chunks
+    res_nbr:    [n_dev, R, W] int32 — residual neighbors as EXT-LOCAL node
+                ids; padded slots have weight 0
+    res_w:      [n_dev, R, W] f32 (true edge weights — residual edges
+                bypass the factored scales)
+    res_rows:   [n_dev, R] int32 — LOCAL destination row of each residual
+                row (padded rows point out of range; scatter mode='drop')
+    dst_scale:  [n_dev, N_loc] f32 or None — factored row scales
+    src_scale_ext: [n_dev, N_ext] f32 or None — factored column scales over
+                the halo-extended rows (precomputed host-side: scales are
+                static, so the halo needs no exchange for them)
     """
 
     a: jnp.ndarray
-    src_chunk: jnp.ndarray
+    src_local: jnp.ndarray
     res_nbr: jnp.ndarray
     res_w: jnp.ndarray
-    res_scale: jnp.ndarray
     res_rows: jnp.ndarray
+    dst_scale: Optional[jnp.ndarray]
+    src_scale_ext: Optional[jnp.ndarray]
     chunk: int
     depth: int
     num_chunks_global: int
     axis_name: str
+    halo_chunks: int
+    n_dev: int
 
 
 def partition_bsda(g: BsdaGraph, n_dev: int,
                    axis_name: str = NODE_AXIS) -> ShardedBsda:
-    """Split a BsdaGraph into n_dev contiguous destination-chunk ranges.
+    """Split a BsdaGraph into n_dev contiguous destination-chunk ranges
+    with boundary-only halos.
 
-    Requires num_chunks % n_dev == 0 (pad chunks upstream if needed).
-    The residual's compact rows are routed to the device owning each
-    destination node; per-device residual tables are padded to a common
-    fixed shape (the residual is tiny — a few % of edges).
+    Requires num_chunks % n_dev == 0 (pad chunks upstream if needed) and a
+    banded ordering: every source chunk and residual source within
+    max_chunk_dist <= B_loc of its destination's range. Raises ValueError
+    for non-banded graphs (use the GSPMD path there).
     """
     b = g.num_chunks
-    assert b % n_dev == 0, (b, n_dev)
+    if b % n_dev:
+        raise ValueError(f"num_chunks {b} does not tile {n_dev} devices")
     b_loc = b // n_dev
     c = g.chunk
+    h = max(1, int(g.max_chunk_dist))
+    if h > b_loc:
+        raise ValueError(
+            f"halo {h} chunks exceeds per-device range {b_loc}; graph is "
+            "not banded enough for boundary-only exchange (GSPMD path "
+            "handles this case)"
+        )
 
     a = np.asarray(g.a).reshape(n_dev, b_loc, g.depth, c, c)
-    src_chunk = np.asarray(g.src_chunk).reshape(n_dev, b_loc, g.depth)
+    src_g = np.asarray(g.src_chunk).reshape(n_dev, b_loc, g.depth)
+    dev_start = (np.arange(n_dev) * b_loc)[:, None, None]
+    src_local = src_g - dev_start + h
+    if src_local.min() < 0 or src_local.max() >= b_loc + 2 * h:
+        raise ValueError("source chunk outside halo window; not banded")
+    comm_frac = 2 * h / b
+    print(f"[SHARDMAP] halo {h} chunks/side per device; boundary exchange "
+          f"moves {2*h*c} rows/chip vs {b*c} full gather "
+          f"({comm_frac:.2%} of all-gather volume)")
 
     # flatten the residual ELL (compact rows) back to per-edge lists
     if g.residual is not None:
@@ -109,7 +147,12 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         e_dst = np.zeros(0, np.int64)
 
     n_loc = b_loc * c
+    n_ext = (b_loc + 2 * h) * c
     dev_of = e_dst // n_loc
+    # residual sources must live inside the destination's halo window too
+    nbr_ext_all = e_nbr - dev_of * n_loc + h * c
+    if e_nbr.size and (nbr_ext_all.min() < 0 or nbr_ext_all.max() >= n_ext):
+        raise ValueError("residual source outside halo window; not banded")
 
     # per-device compact residual rows, padded to common (R, W)
     per_dev = []
@@ -118,65 +161,132 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         sel = dev_of == d
         dsts = e_dst[sel]
         rows_u, inv = np.unique(dsts, return_inverse=True)
-        counts = np.bincount(inv, minlength=rows_u.size) if rows_u.size else np.zeros(0, np.int64)
+        counts = (np.bincount(inv, minlength=rows_u.size)
+                  if rows_u.size else np.zeros(0, np.int64))
         r_max = max(r_max, rows_u.size)
         w_max = max(w_max, int(counts.max()) if counts.size else 1)
         per_dev.append((sel, rows_u, inv, counts))
 
     res_nbr = np.zeros((n_dev, r_max, w_max), np.int32)
     res_w = np.zeros((n_dev, r_max, w_max), np.float32)
-    res_rows = np.zeros((n_dev, r_max), np.int32)
+    res_rows = np.full((n_dev, r_max), n_loc, np.int32)  # pad -> dropped
     for d, (sel, rows_u, inv, counts) in enumerate(per_dev):
         if not rows_u.size:
             continue
         order = np.argsort(inv, kind="stable")
         within = np.arange(order.size) - np.cumsum(np.r_[0, counts[:-1]])[inv[order]]
-        res_nbr[d, inv[order], within] = e_nbr[sel][order]
+        res_nbr[d, inv[order], within] = nbr_ext_all[sel][order]
         res_w[d, inv[order], within] = e_w[sel][order]
         res_rows[d, : rows_u.size] = (rows_u - d * n_loc).astype(np.int32)
 
+    def split_scale(s, ext: bool):
+        if s is None:
+            return None
+        s = np.asarray(s)  # [b*c] padded at build
+        if not ext:
+            return jnp.asarray(s.reshape(n_dev, n_loc))
+        out = np.zeros((n_dev, n_ext), np.float32)
+        for d in range(n_dev):
+            lo, hi = d * n_loc - h * c, (d + 1) * n_loc + h * c
+            src_lo, src_hi = max(lo, 0), min(hi, s.size)
+            out[d, src_lo - lo: src_hi - lo] = s[src_lo:src_hi]
+        return jnp.asarray(out)
+
     return ShardedBsda(
         a=jnp.asarray(a),
-        src_chunk=jnp.asarray(src_chunk),
+        src_local=jnp.asarray(src_local.astype(np.int32)),
         res_nbr=jnp.asarray(res_nbr),
         res_w=jnp.asarray(res_w),
-        res_scale=jnp.asarray(np.ones((n_dev, r_max), np.float32)),
         res_rows=jnp.asarray(res_rows),
+        dst_scale=split_scale(g.dst_scale, ext=False),
+        src_scale_ext=split_scale(g.src_scale, ext=True),
         chunk=c,
         depth=g.depth,
         num_chunks_global=b,
         axis_name=axis_name,
+        halo_chunks=h,
+        n_dev=n_dev,
+    )
+
+
+def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
+    """PartitionSpec pytree matching ShardedBsda for shard_map in_specs."""
+    return dataclasses.replace(
+        sg,
+        a=P(NODE_AXIS, None, None, None, None),
+        src_local=P(NODE_AXIS, None, None),
+        res_nbr=P(NODE_AXIS, None, None),
+        res_w=P(NODE_AXIS, None, None),
+        res_rows=P(NODE_AXIS, None),
+        dst_scale=None if sg.dst_scale is None else P(NODE_AXIS, None),
+        src_scale_ext=(
+            None if sg.src_scale_ext is None else P(NODE_AXIS, None)
+        ),
     )
 
 
 def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
                       compute_dtype=None) -> jnp.ndarray:
-    """Halo aggregation inside shard_map: all_gather features over ICI,
-    local chunk matmuls, local residual. x_local/returns: [N_loc, F].
+    """Boundary-halo aggregation inside shard_map: ring-exchange the H
+    boundary chunks with both neighbors, then local MXU chunk matmuls.
+    x_local/returns: [N_loc, F].
 
     The shard_map caller passes the per-device slice of the stacked tables
     (leading axis length 1)."""
     a = sg.a[0]
-    src_chunk = sg.src_chunk[0]
+    src = sg.src_local[0]
+    h, c = sg.halo_chunks, sg.chunk
+    hc = h * c
+    axis = sg.axis_name
+    n_dev = sg.n_dev
     out_dtype = x_local.dtype
     xc = (
         x_local.astype(compute_dtype) if compute_dtype is not None else x_local
     )
-    # halo exchange: every chip contributes its rows; result is the full
-    # node-feature matrix, used only as matmul operand (never re-stored)
-    x_full = jax.lax.all_gather(xc, sg.axis_name, axis=0, tiled=True)
-    f = x_full.shape[-1]
-    x3 = x_full.reshape(sg.num_chunks_global, sg.chunk, f)
-    gathered = x3[src_chunk]  # [B_loc, D, C, F]
-    out = jnp.einsum(
-        "bdij,bdjf->bif", a.astype(xc.dtype), gathered,
-        preferred_element_type=jnp.float32,
-    ).reshape(-1, f)
+    f = xc.shape[-1]
+    b_loc = a.shape[0]
 
-    # local residual: gather sources from the gathered features, reduce per
-    # compact row, add into local rows
+    # ---- boundary-only halo exchange (2*H*C rows per direction) ----
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    halo_l = jax.lax.ppermute(xc[-hc:], axis, fwd)  # left nbr's tail
+    halo_r = jax.lax.ppermute(xc[:hc], axis, bwd)   # right nbr's head
+    # (ring wraparound delivers garbage to the edge devices, but no source
+    # chunk index ever points there — src ids are window-validated at
+    # partition time)
+
+    x3_loc = xc.reshape(b_loc, c, f)
+    x_ext = jnp.concatenate([halo_l, xc, halo_r], axis=0)
+    x3_ext = x_ext.reshape(b_loc + 2 * h, c, f)
+
+    if sg.src_scale_ext is not None:
+        ss3 = sg.src_scale_ext[0].reshape(b_loc + 2 * h, c)
+        diag_rhs = x3_loc * ss3[h: h + b_loc, :, None].astype(xc.dtype)
+    else:
+        ss3 = None
+        diag_rhs = x3_loc
+
+    # diagonal slot: own chunk, no communication dependency — XLA overlaps
+    # this einsum with the ppermutes above
+    out = jnp.einsum(
+        "bij,bjf->bif", a[:, 0].astype(xc.dtype), diag_rhs,
+        preferred_element_type=jnp.float32,
+    )
+    if sg.depth > 1:
+        gathered = x3_ext[src[:, 1:]]  # [B_loc, D-1, C, F]
+        if ss3 is not None:
+            gathered = gathered * ss3[src[:, 1:], :, None].astype(xc.dtype)
+        out = out + jnp.einsum(
+            "bdij,bdjf->bif", a[:, 1:].astype(xc.dtype), gathered,
+            preferred_element_type=jnp.float32,
+        )
+    out = out.reshape(-1, f)
+    if sg.dst_scale is not None:
+        out = out * sg.dst_scale[0][:, None]
+
+    # local residual: sources from the halo-extended rows (true weights)
     res_nbr, res_w, res_rows = sg.res_nbr[0], sg.res_w[0], sg.res_rows[0]
-    g_res = x_full[res_nbr]  # [R, W, F]
+    g_res = x_ext[res_nbr]  # [R, W, F]
     spill = jnp.einsum(
         "rw,rwf->rf", res_w.astype(g_res.dtype), g_res,
         preferred_element_type=jnp.float32,
@@ -192,8 +302,13 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
     loss_fn_cfg: (class_weights jnp [2],) — the step computes the masked,
     class-weighted CE with explicit psum reductions (global mean over train
     rows across chips).
-    Returns step(params, state, opt_state, rng, x, y, ts, tmask, row_mask)
-    with x/y/ts/tmask/row_mask row-sharded on the `nodes` axis.
+    Returns step(params, state, opt_state, rng, x, y, ts, tmask, row_mask,
+    sg) -> (params, state, opt_state, loss, probs) with x/y/ts/tmask/
+    row_mask row-sharded on the `nodes` axis and probs the post-update eval
+    P(illicit) for every (sharded) row — so the trainer's fused-epoch
+    contract works unchanged. `sg` is a call argument (closing over the
+    chunk tables would embed them in the compile payload — pathological on
+    remote-compile relays).
     """
     import optax
 
@@ -202,29 +317,21 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
     p_rep = P()
     p_row = P(NODE_AXIS)
     p_row2 = P(NODE_AXIS, None)
-
-    sg_specs = ShardedBsda(
-        a=P(NODE_AXIS, None, None, None, None),
-        src_chunk=P(NODE_AXIS, None, None),
-        res_nbr=P(NODE_AXIS, None, None),
-        res_w=P(NODE_AXIS, None, None),
-        res_scale=P(NODE_AXIS, None),
-        res_rows=P(NODE_AXIS, None),
-        chunk=sg.chunk,
-        depth=sg.depth,
-        num_chunks_global=sg.num_chunks_global,
-        axis_name=axis,
-    )
+    sg_specs = sharded_specs(sg)
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(p_rep, p_rep, p_rep, p_rep, p_row2, p_row, p_row, p_row,
                   p_row, sg_specs),
-        out_specs=(p_rep, p_rep, p_rep, p_rep),
+        out_specs=(p_rep, p_rep, p_rep, p_rep, p_row),
         check_vma=True,
     )
     def step(params, state, opt_state, rng, x, y, ts, tmask, row_mask, sg_loc):
+        # de-correlate dropout across chips (each chip draws masks for its
+        # own rows)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
         def lf(p):
             logits, new_state = model.apply(
                 p, state, x, sg_loc, ts, training=True, rng=rng,
@@ -240,10 +347,18 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
         # the replicated->varying boundary itself; no manual all-reduce
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_state, new_opt, loss
+
+        logits_eval, _ = model.apply(
+            new_params, new_state, x, sg_loc, ts, training=False,
+            axis_name=axis, row_mask=row_mask,
+        )
+        probs = jax.nn.softmax(logits_eval, axis=1)[:, 1]
+        return new_params, new_state, new_opt, loss, probs
 
     @jax.jit
-    def jitted(params, state, opt_state, rng, x, y, ts, tmask, row_mask):
-        return step(params, state, opt_state, rng, x, y, ts, tmask, row_mask, sg)
+    def jitted(params, state, opt_state, rng, x, y, ts, tmask, row_mask,
+               sg_arg=None):
+        return step(params, state, opt_state, rng, x, y, ts, tmask,
+                    row_mask, sg if sg_arg is None else sg_arg)
 
     return jitted

@@ -117,7 +117,10 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     if kind == "gat" and mode == "pallas_block":
         return "ell"
     if mode == "auto":
-        if kind in ("sage", "gcn") and jax.default_backend() == "tpu":
+        # pallas_call does not partition under GSPMD; meshes keep the
+        # einsum path (or the explicit shard_map path when requested)
+        if (kind in ("sage", "gcn") and jax.default_backend() == "tpu"
+                and int(cfg.get("mesh_devices", 1) or 1) == 1):
             return "bsda_pallas"
         return "bsda"
     if mode == "bsda_pallas":
@@ -150,14 +153,14 @@ def build_train_state(cfg: dict, data, seed: int):
         )
     kind = MODEL_GRAPH_KIND[arch]
     agg = _pick_aggregation(cfg, data, kind)
-    if agg in ("bsda", "bsda_pallas"):
+    if agg in ("bsda", "bsda_pallas", "shard_map"):
         # BFS renumbering groups connected neighborhoods into contiguous
         # MXU chunks; artifacts translate back via data.orig_index.
         from ..kernels.bsda import bfs_order, build_bsda_for_kind
 
         rank = bfs_order(data.edge_index, data.num_nodes, data.timestep)
         data = data.renumber(rank)
-        if agg == "bsda_pallas":
+        if agg in ("bsda_pallas", "shard_map"):
             # factored int8 multiplicity tables: 4x less A traffic; the
             # banded kernel applies the per-node scales in VMEM
             a_dtype = "int8"
@@ -167,6 +170,9 @@ def build_train_state(cfg: dict, data, seed: int):
             data.edge_index, data.num_nodes, kind,
             depth=int(cfg.get("bsda_depth", 3)),
             a_dtype=a_dtype,
+            # the explicit-collective path differentiates through shard_map
+            # AD (ppermute transposes itself); no A^T encoding needed
+            transpose=(agg != "shard_map"),
         )
         if agg == "bsda_pallas":
             import dataclasses
@@ -252,23 +258,46 @@ def main(cfg: dict) -> dict:
 def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                           opt_state, loss_fn, logger):
     # Multi-device: `mesh_devices: N` shards node rows + aggregation tables
-    # over an N-device `nodes` mesh (GSPMD; see parallel/). Default 1.
+    # over an N-device `nodes` mesh. Default 1. `aggregation: shard_map`
+    # selects the explicit-collective path (boundary-only halo exchange,
+    # parallel/shardmap_step.py); anything else uses GSPMD.
     n_mesh = int(cfg.get("mesh_devices", 1) or 1)
+    explicit_sm = n_mesh > 1 and str(cfg.get("aggregation", "auto")) == "shard_map"
     row_mask = None
+    sm_sg = None
     if n_mesh > 1:
         from ..parallel import make_mesh, shard_graph_inputs
         from ..parallel.mesh import replicated
 
         mesh = make_mesh(n_mesh)
-        x, y_all, t_all, train_mask_f, row_mask, gops, n_pad = (
-            shard_graph_inputs(mesh, data, gops)
-        )
+        if explicit_sm:
+            if cfg.get("focal_loss", False) or \
+                    str(cfg.get("time_loss_weighting", "none")) != "none" or \
+                    float(cfg.get("time_embed_l2", 0.0) or 0.0) > 0:
+                raise ValueError(
+                    "aggregation: shard_map supports the class-weighted CE "
+                    "loss only (focal/time-weighted losses: use the GSPMD "
+                    "path)"
+                )
+            from ..kernels.bsda import pad_bsda_chunks
+            from ..parallel.shardmap_step import partition_bsda
+
+            gops = pad_bsda_chunks(gops, n_mesh)
+            sm_sg = partition_bsda(gops, n_mesh)
+            x, y_all, t_all, train_mask_f, row_mask, _, n_pad = (
+                shard_graph_inputs(mesh, data, gops, shard_tables=False)
+            )
+        else:
+            x, y_all, t_all, train_mask_f, row_mask, gops, n_pad = (
+                shard_graph_inputs(mesh, data, gops)
+            )
         rep = replicated(mesh)
         params = jax.device_put(params, rep)
         state = jax.device_put(state, rep)
         opt_state = jax.device_put(opt_state, rep)
         print(f"[MESH] training sharded over {n_mesh} devices "
-              f"({n_pad} padded rows)")
+              f"({n_pad} padded rows, "
+              f"{'explicit shard_map' if explicit_sm else 'GSPMD'})")
     else:
         # pad node arrays to the BSDA chunk grid once: without this every
         # spmm call pays two full-array copies (XLA materializes the
@@ -311,28 +340,56 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     # transfer per epoch (device round-trips dominate epoch time on
     # high-latency links; the reference pulls full-graph probs each epoch,
     # train_gnn.py:254-257).
-    @jax.jit
-    def epoch_step(params, state, opt_state, rng, x, gops, t_idx_arg):
-        def lf(p):
-            logits, new_state = model.apply(
-                p, state, x, gops, t_idx_arg, training=True, rng=rng,
-                row_mask=row_mask,
-            )
-            loss = loss_fn(
-                p, logits, y_all, t_all if use_time_loss else None, train_mask_f
-            )
-            return loss, new_state
+    if explicit_sm:
+        from ..parallel.shardmap_step import make_shardmap_train_step
 
-        (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-
-        logits, _ = model.apply(
-            new_params, new_state, x, gops, t_idx_arg, training=False
+        if cfg.get("class_weight_pos", "auto") == "auto":
+            cw = class_weights(data.y[data.train_mask])
+        else:
+            cw = np.array([1.0, float(cfg["class_weight_pos"])], np.float32)
+        sm_step = make_shardmap_train_step(
+            mesh, model, tx, (jnp.asarray(cw),), sm_sg
         )
-        probs_val = jax.nn.softmax(logits, axis=1)[:, 1][val_idx]
-        fused = jnp.concatenate([probs_val, loss[None].astype(probs_val.dtype)])
-        return new_params, new_state, new_opt, fused
+
+        @jax.jit
+        def _fuse(probs, loss):
+            return jnp.concatenate(
+                [probs[val_idx], loss[None].astype(probs.dtype)]
+            )
+
+        def epoch_step(params, state, opt_state, rng, x, gops_, t_):
+            p, s, o, loss, probs = sm_step(
+                params, state, opt_state, rng, x, y_all, t_all,
+                train_mask_f, row_mask, sm_sg,
+            )
+            return p, s, o, _fuse(probs, loss)
+    else:
+        @jax.jit
+        def epoch_step(params, state, opt_state, rng, x, gops, t_idx_arg):
+            def lf(p):
+                logits, new_state = model.apply(
+                    p, state, x, gops, t_idx_arg, training=True, rng=rng,
+                    row_mask=row_mask,
+                )
+                loss = loss_fn(
+                    p, logits, y_all, t_all if use_time_loss else None,
+                    train_mask_f,
+                )
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+
+            logits, _ = model.apply(
+                new_params, new_state, x, gops, t_idx_arg, training=False
+            )
+            probs_val = jax.nn.softmax(logits, axis=1)[:, 1][val_idx]
+            fused = jnp.concatenate(
+                [probs_val, loss[None].astype(probs_val.dtype)]
+            )
+            return new_params, new_state, new_opt, fused
 
     y_val_bin = (data.y[data.val_mask] == 1).astype(int)
 

@@ -182,3 +182,53 @@ def test_trainer_mesh_devices_config(tmp_path):
     m8 = train_gnn.main(dict(base, run_name="mesh8", mesh_devices=8))
     assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
     assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
+
+
+def test_trainer_shardmap_config(tmp_path):
+    """aggregation: shard_map + mesh_devices: N trains end-to-end through
+    the normal CLI path with boundary-only halo exchange and matches the
+    single-device run (dropout 0)."""
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
+
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 1500,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "arch": "sage_resbn",
+        "hidden_dim": 16, "layers": 3, "dropout": 0.0, "lr": 0.01,
+        "weight_decay": 0.0, "max_epochs": 6, "patience": 6,
+        "time_embed_dim": 2, "time_embed_type": "sin", "max_timestep": 10,
+        "symmetrize_edges": True, "calibrate_temperature": False,
+    }
+    m1 = train_gnn.main(dict(base, run_name="sm1"))
+    m8 = train_gnn.main(dict(
+        base, run_name="sm8", mesh_devices=8, aggregation="shard_map"))
+    assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
+    assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
+
+
+def test_shardmap_rejects_unsupported_loss(tmp_path):
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
+    import pytest as _pytest
+
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 800,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    cfg = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "run_name": "smf",
+        "arch": "sage", "hidden_dim": 8, "layers": 2, "dropout": 0.0,
+        "lr": 0.01, "max_epochs": 2, "patience": 2,
+        "mesh_devices": 8, "aggregation": "shard_map", "focal_loss": True,
+    }
+    with _pytest.raises(ValueError, match="shard_map"):
+        train_gnn.main(cfg)

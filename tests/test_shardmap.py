@@ -95,7 +95,8 @@ def test_shardmap_step_matches_single_device():
         jax.device_put(ts1, row), jax.device_put(tm1, row),
         jax.device_put(rm1, row),
     )
-    p8, s8, o8, loss8 = step(*args)
+    p8, s8, o8, loss8, probs8 = step(*args)
+    assert probs8.shape == (n_target,)
 
     assert np.isclose(float(loss1), float(loss8), rtol=1e-5, atol=1e-6), (
         float(loss1), float(loss8)
@@ -115,7 +116,7 @@ def test_partition_bsda_preserves_aggregation():
     """sharded_bsda_spmm under shard_map == bsda_spmm single device."""
     from elliptic_gnn_tpu.kernels import bsda as B
     from elliptic_gnn_tpu.parallel.shardmap_step import sharded_bsda_spmm
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from functools import partial
     import dataclasses
 
@@ -138,20 +139,14 @@ def test_partition_bsda_preserves_aggregation():
 
     mesh = make_mesh(n_dev)
     sg = partition_bsda(g, n_dev)
-    sg_specs = dataclasses.replace(
-        sg,
-        a=P(NODE_AXIS, None, None, None, None),
-        src_chunk=P(NODE_AXIS, None, None),
-        res_nbr=P(NODE_AXIS, None, None),
-        res_w=P(NODE_AXIS, None, None),
-        res_scale=P(NODE_AXIS, None),
-        res_rows=P(NODE_AXIS, None),
-    )
+    from elliptic_gnn_tpu.parallel.shardmap_step import sharded_specs
+
+    sg_specs = sharded_specs(sg)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(NODE_AXIS, None), sg_specs),
-        out_specs=P(NODE_AXIS, None), check_rep=False,
+        out_specs=P(NODE_AXIS, None), check_vma=True,
     )
     def agg(x_loc, sg_loc):
         return sharded_bsda_spmm(sg_loc, x_loc)
