@@ -251,6 +251,27 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # `python bench.py --mesh 1,2,4,8` -> mesh-scaling harness on the
+    # virtual CPU mesh (re-execs with the platform env set; see
+    # bench/scaling.py). Plain `python bench.py` = the headline TPU bench.
+    if len(sys.argv) > 2 and sys.argv[1] == "--mesh":
+        import subprocess
+
+        import os as _os
+
+        sizes = sys.argv[2]
+        n_max = max(int(s) for s in sizes.split(","))
+        env = dict(_os.environ)
+        env["EGNN_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_max}"
+        ).strip()
+        sys.exit(subprocess.call(
+            [sys.executable, "-m", "bench.scaling", "--sizes", sizes]
+            + sys.argv[3:],
+            env=env,
+        ))
     try:
         main()
     except Exception as exc:  # always emit the JSON line for the driver

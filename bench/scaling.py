@@ -1,0 +1,151 @@
+"""Mesh-scaling harness: the sharded training step at n ∈ {1,2,4,8,...}
+devices on the virtual CPU mesh (BASELINE.md row 4: edges/s scaling at
+1 chip / 1 host / N hosts — the N-real-chip column is blocked on hardware
+in this environment, so this harness validates correctness + communication
+scaling and measures relative step time on the virtual mesh).
+
+For each mesh size it runs the explicit-collective shard_map step
+(boundary-only halo, parallel/shardmap_step.py) and reports:
+  - step wall time (median; virtual-CPU-relative, NOT TPU-absolute),
+  - per-chip halo rows exchanged vs the full-gather volume,
+  - the training loss (must agree across mesh sizes — correctness).
+
+Usage (the env vars must be set before the process starts):
+  EGNN_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python -m bench.scaling [--sizes 1,2,4,8] [--nodes 60000]
+or via the top-level wrapper, which re-execs itself with the env set:
+  python bench.py --mesh 1,2,4,8
+
+Writes bench_scaling.json and prints a table to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--nodes", type=int, default=60_000)
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--out", default="bench_scaling.json")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    import jax
+
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < max(sizes):
+        raise RuntimeError(
+            f"need {max(sizes)} devices, have {len(jax.devices())}; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N first"
+        )
+
+    from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
+    from elliptic_gnn_tpu.graph.transform import symmetrize_edges
+    from elliptic_gnn_tpu.kernels.bsda import pad_bsda_chunks
+    from elliptic_gnn_tpu.models.losses import class_weights
+    from elliptic_gnn_tpu.parallel import make_mesh, shard_graph_inputs
+    from elliptic_gnn_tpu.parallel.mesh import replicated
+    from elliptic_gnn_tpu.parallel.shardmap_step import (
+        make_shardmap_train_step, partition_bsda,
+    )
+    from elliptic_gnn_tpu.train.train_gnn import build_train_state
+
+    cfg = {
+        "arch": "sage_resbn", "hidden_dim": 64, "layers": 3, "dropout": 0.0,
+        "lr": 5e-4, "weight_decay": 5e-5, "grad_clip": 1.0,
+        "time_embed_dim": 2, "time_embed_type": "sin", "max_timestep": 49,
+        "aggregation": "shard_map", "mesh_devices": max(sizes),
+    }
+    data0 = synthetic.generate(
+        num_nodes=args.nodes, num_features=166, num_timesteps=49,
+        avg_degree=1.15, seed=0,
+    )
+    data0 = make_temporal_masks(data0, 34, 43)
+    data0 = symmetrize_edges(data0)
+    e = data0.num_edges
+    log(f"[scaling] graph: {data0.num_nodes} nodes, {e} edges")
+
+    data, model, gops, params, state, tx, opt_state, _ = build_train_state(
+        cfg, data0, 42
+    )
+    cw = jnp.asarray(class_weights(data.y[data.train_mask]))
+
+    rows = []
+    for n in sizes:
+        mesh = make_mesh(n)
+        gops_p = pad_bsda_chunks(gops, n)
+        sg = partition_bsda(gops_p, n)
+        x, y, ts, tm, rm, _, _ = shard_graph_inputs(
+            mesh, data, gops_p, shard_tables=False
+        )
+        rep = replicated(mesh)
+        p = jax.device_put(params, rep)
+        s = jax.device_put(state, rep)
+        o = jax.device_put(opt_state, rep)
+        step = make_shardmap_train_step(mesh, model, tx, (cw,), sg)
+
+        rng = jax.random.key(0)
+        p1, s1, o1, loss, probs = step(p, s, o, rng, x, y, ts, tm, rm, sg)
+        jax.block_until_ready(loss)  # compile + warm
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            p1, s1, o1, loss, probs = step(p1, s1, o1, rng, x, y, ts, tm, rm, sg)
+            jax.block_until_ready(loss)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        halo_rows = 2 * sg.halo_chunks * sg.chunk
+        full_rows = sg.num_chunks_global * sg.chunk
+        rows.append({
+            "devices": n,
+            "step_ms": dt * 1e3,
+            "edges_per_s": e / dt,
+            "loss_step1": float(np.asarray(loss)),
+            "halo_rows_per_chip": int(halo_rows if n > 1 else 0),
+            "comm_vs_allgather": (
+                float(halo_rows / full_rows) if n > 1 else 0.0
+            ),
+        })
+        log(f"[scaling] n={n}: step {dt*1e3:8.1f} ms  "
+            f"{e/dt/1e6:7.2f} Me/s  halo {halo_rows if n>1 else 0} rows/chip "
+            f"loss {rows[-1]['loss_step1']:.6f}")
+
+    # correctness: the post-step loss must agree across mesh sizes
+    losses = [r["loss_step1"] for r in rows]
+    spread = max(losses) - min(losses)
+    log(f"[scaling] loss spread across mesh sizes: {spread:.2e}")
+    result = {
+        "metric": "shard_map_scaling",
+        "platform": jax.devices()[0].platform,
+        "note": ("virtual CPU mesh: validates correctness + comm scaling; "
+                 "absolute times are not TPU times. N>=2 real-chip / "
+                 "multi-host columns blocked on hardware availability."),
+        "graph_nodes": data0.num_nodes,
+        "graph_edges": e,
+        "loss_spread": spread,
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
