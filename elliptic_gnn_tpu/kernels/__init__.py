@@ -33,14 +33,17 @@ def spmm(g, x, compute_dtype=None):
     return ell_spmm(g, x, compute_dtype=compute_dtype)
 
 
-def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2):
-    """GAT attention dispatch: dense chunk-pair attention for BsdaGraph,
+def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
+                  use_flash=False):
+    """GAT attention dispatch: dense chunk-pair attention for BsdaGraph
+    (flash-style Pallas kernel on the forward-only eval path),
     masked-row-softmax ELL otherwise."""
     from .bsda import BsdaGraph
     from .bsda_gat import bsda_gat_aggregate
 
     if isinstance(g, BsdaGraph):
         return bsda_gat_aggregate(
-            g, x_proj, alpha_src, alpha_dst, negative_slope
+            g, x_proj, alpha_src, alpha_dst, negative_slope,
+            use_flash=use_flash,
         )
     return ell_gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope)

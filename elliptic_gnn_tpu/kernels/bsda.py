@@ -510,9 +510,10 @@ def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
         return g
     if kind == "gat":
         # self-loops + unit weights: `a` holds edge multiplicities for the
-        # dense-attention path (kernels/bsda_gat.py); attention gradients
+        # dense-attention path (kernels/bsda_gat.py) — always int8 (exact;
+        # 4x less HBM traffic on the two score passes); attention gradients
         # flow via autodiff (no transpose encoding)
         ei = add_self_loops(edge_index, num_nodes)
         return build_bsda(ei, num_nodes, mean=False, depth=depth,
-                          a_dtype=a_dtype if not factored else "float32")
+                          a_dtype="int8")
     raise ValueError(f"BSDA supports sage/gcn/gat, not {kind!r}")

@@ -35,6 +35,14 @@ def _dense_part(g: BsdaGraph, xp_h, asrc_h, adst_h, negative_slope):
     xp_h [N_pad, Ch], asrc_h/adst_h [N_pad] (padded to the chunk grid).
     Returns (m [B,C], s [B,C], acc [B,C,Ch]) — running max, sum of
     exp(score - m) weighted by multiplicity, and the weighted feature sum.
+
+    Written so the [B, D, C, C] score tensor is never stored: the max pass
+    recomputes scores inside its reduction (XLA fuses elementwise producers
+    into reduces, not into dot operands), and the single materialized
+    tensor is the exp-weights `e` — in bf16 on the amp path — consumed by
+    ONE einsum whose last column is all-ones, yielding the softmax
+    denominator for free. ~4x less HBM traffic than the round-1 version
+    that stored f32 scores and read them for max/exp/sum/dot separately.
     """
     b, c = g.num_chunks, g.chunk
     mult = g.a  # [B, D, C, C] edge multiplicities (0 = no edge)
@@ -43,50 +51,70 @@ def _dense_part(g: BsdaGraph, xp_h, asrc_h, adst_h, negative_slope):
     xp3 = xp_h.reshape(b, c, -1)
 
     asrc_chunks = asrc3[g.src_chunk]  # [B, D, C]
-    scores = jax.nn.leaky_relu(
-        asrc_chunks[:, :, None, :] + adst3[:, None, :, None], negative_slope
-    )  # [B, D, C(i), C(j)]
     valid = mult > 0
-    scores = jnp.where(valid, scores, NEG_INF)
 
-    m = jnp.max(scores, axis=(1, 3))  # [B, C]
-    e = jnp.exp(scores - m[:, None, :, None]) * mult.astype(scores.dtype)
-    s = e.sum(axis=(1, 3))  # [B, C]
-    xp_chunks = xp3[g.src_chunk]  # [B, D, C, Ch]
-    acc = jnp.einsum(
-        "bdij,bdjf->bif", e, xp_chunks, preferred_element_type=jnp.float32
+    def scores():
+        return jnp.where(
+            valid,
+            jax.nn.leaky_relu(
+                asrc_chunks[:, :, None, :] + adst3[:, None, :, None],
+                negative_slope,
+            ),
+            NEG_INF,
+        )
+
+    m = jnp.max(scores(), axis=(1, 3))  # [B, C]; fused reduction
+    e = jnp.exp(scores() - m[:, None, :, None]) * mult.astype(jnp.float32)
+    # the stored exp-weight tensor is the traffic bottleneck: bf16 on TPU
+    # (the MXU demotes f32 dot operands to bf16 anyway), f32 elsewhere so
+    # CPU parity oracles stay exact
+    e_dtype = (
+        jnp.bfloat16 if jax.default_backend() == "tpu" else xp_h.dtype
     )
-    return m, s, acc
+    e = e.astype(e_dtype)
+    xp_h = xp_h.astype(e_dtype)
+    xp_chunks = xp3[g.src_chunk]  # [B, D, C, Ch] (Ch small; cheap gather)
+    # ones-column trick: one dot produces both the weighted feature sum and
+    # the softmax denominator
+    xp_ext = jnp.concatenate(
+        [xp_chunks, jnp.ones(xp_chunks.shape[:-1] + (1,), xp_chunks.dtype)],
+        axis=-1,
+    )
+    acc_ext = jnp.einsum(
+        "bdij,bdjf->bif", e, xp_ext, preferred_element_type=jnp.float32
+    )
+    return m, acc_ext[..., -1], acc_ext[..., :-1]
 
 
-def _spill_part(g: BsdaGraph, xp_h, asrc_h, adst_h, negative_slope):
-    """Per-head residual attention partials over compact spill rows.
+def _spill_part(g: BsdaGraph, xp, asrc, adst, negative_slope):
+    """Residual attention partials over compact spill rows, ALL heads.
 
-    Returns (rows [R], m2 [R], s2 [R], acc2 [R, Ch])."""
+    xp [N_pad, H, Ch], asrc/adst [N_pad, H].
+    Returns (m2 [R, H], s2 [R, H], acc2 [R, H, Ch])."""
     res = g.residual
     rows = g.residual_rows  # compact row -> node id
     m2_parts, s2_parts, acc_parts = [], [], []
+    h, ch = xp.shape[1], xp.shape[2]
     for nbr, w, rws in zip(res.nbrs, res.weights, res.rows):
-        valid = w > 0
+        valid = (w > 0)[:, :, None]
         sc = jax.nn.leaky_relu(
-            asrc_h[nbr] + adst_h[rows[rws]][:, None], negative_slope
-        )
+            asrc[nbr] + adst[rows[rws]][:, None, :], negative_slope
+        )  # [R, W, H]
         sc = jnp.where(valid, sc, NEG_INF)
-        m_l = jnp.max(sc, axis=1)
-        e = jnp.exp(sc - m_l[:, None]) * w  # w = multiplicity
+        m_l = jnp.max(sc, axis=1)  # [R, H]
+        e = jnp.exp(sc - m_l[:, None, :]) * w[:, :, None]  # w = multiplicity
         s_l = e.sum(axis=1)
         acc_l = jnp.einsum(
-            "rw,rwf->rf", e, xp_h[nbr], preferred_element_type=jnp.float32
+            "rwh,rwhf->rhf", e, xp[nbr], preferred_element_type=jnp.float32
         )
         m2_parts.append(m_l)
         s2_parts.append(s_l)
         acc_parts.append(acc_l)
     if res.n_zero_deg:
         z = res.n_zero_deg
-        ch = xp_h.shape[-1]
-        m2_parts.append(jnp.full((z,), NEG_INF))
-        s2_parts.append(jnp.zeros((z,)))
-        acc_parts.append(jnp.zeros((z, ch)))
+        m2_parts.append(jnp.full((z, h), NEG_INF))
+        s2_parts.append(jnp.zeros((z, h)))
+        acc_parts.append(jnp.zeros((z, h, ch)))
     m2 = jnp.concatenate(m2_parts)
     s2 = jnp.concatenate(s2_parts)
     acc2 = jnp.concatenate(acc_parts)
@@ -103,12 +131,19 @@ def bsda_gat_aggregate(
     alpha_src: jnp.ndarray,
     alpha_dst: jnp.ndarray,
     negative_slope: float = 0.2,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Per-destination softmax-weighted neighbor sum, all heads.
 
     x_proj [N, H, Ch], alpha_src/alpha_dst [N, H] -> [N, H, Ch].
     `g` must be built from the self-looped edge set with unit weights
     (build_bsda_for_kind(..., 'gat')): `a` then holds edge multiplicities.
+
+    The dense chunk-pair part runs per head (XLA fuses the score compute
+    into the max-reduce and the exp into the dot, so nothing [B,D,C,C]-
+    sized hits HBM); padding, the residual, and the streaming-softmax merge
+    are vectorized across heads (the round-1 per-head loop repeated those
+    ~N-sized scatters and pads H times).
     """
     n0, h, ch = x_proj.shape
     n_pad = g.num_chunks * g.chunk - n0
@@ -119,31 +154,56 @@ def bsda_gat_aggregate(
         shape = (n_pad,) + v.shape[1:]
         return jnp.concatenate([v, jnp.full(shape, fill, v.dtype)], axis=0)
 
-    outs = []
-    for head in range(h):
-        xp_h = pad(x_proj[:, head, :])
-        asrc_h = pad(alpha_src[:, head], NEG_INF)
-        adst_h = pad(alpha_dst[:, head], NEG_INF)
+    xp = pad(x_proj)            # [N_pad, H, Ch]
+    asrc = pad(alpha_src, NEG_INF)  # [N_pad, H]
+    adst = pad(alpha_dst, NEG_INF)
 
-        m, s, acc = _dense_part(g, xp_h, asrc_h, adst_h, negative_slope)
-        m = m.reshape(-1)[:n0]
-        s = s.reshape(-1)[:n0]
-        acc = acc.reshape(-1, ch)[:n0]
+    flash = None
+    if use_flash:
+        # forward-only Pallas kernel: the whole per-chunk softmax stays in
+        # VMEM (kernels/pallas_gat.py) — ~8x less HBM traffic than the XLA
+        # dense path. Used on inference/eval; training needs autodiff and
+        # keeps the XLA path below.
+        from .pallas_gat import flash_gat_dense
 
-        if g.residual is not None:
-            m2c, s2c, acc2c = _spill_part(
-                g, xp_h, asrc_h, adst_h, negative_slope
+        flash = flash_gat_dense(g, xp, asrc, adst, negative_slope)
+    if flash is not None:
+        m_p, s_p, acc_p = flash
+        m = m_p[:n0]
+        s = s_p[:n0]
+        acc = acc_p[:n0]
+    else:
+        ms, ss, accs = [], [], []
+        for head in range(h):
+            m_h, s_h, acc_h = _dense_part(
+                g, xp[:, head, :], asrc[:, head], adst[:, head],
+                negative_slope,
             )
-            rows = g.residual_rows
-            m2 = jnp.full((n0,), NEG_INF).at[rows].set(m2c)
-            s2 = jnp.zeros((n0,)).at[rows].set(s2c)
-            acc2 = jnp.zeros((n0, ch)).at[rows].set(acc2c)
-            # streaming-softmax merge of the two partials
-            big = jnp.maximum(m, m2)
-            w1 = jnp.exp(m - big)
-            w2 = jnp.exp(m2 - big)
-            s = s * w1 + s2 * w2
-            acc = acc * w1[:, None] + acc2 * w2[:, None]
+            # fence each head: without this XLA fuses/schedules the four
+            # heads' score pipelines together and materializes ~1.3 GB of
+            # [B,D,C,C] transients (measured 12 ms); fenced, each head
+            # keeps the compact fused form (~0.4 ms/head)
+            m_h, s_h, acc_h = jax.lax.optimization_barrier(
+                (m_h, s_h, acc_h)
+            )
+            ms.append(m_h.reshape(-1)[:n0])
+            ss.append(s_h.reshape(-1)[:n0])
+            accs.append(acc_h.reshape(-1, ch)[:n0])
+        m = jnp.stack(ms, axis=1)      # [N, H]
+        s = jnp.stack(ss, axis=1)
+        acc = jnp.stack(accs, axis=1)  # [N, H, Ch]
 
-        outs.append(acc / jnp.maximum(s, 1e-16)[:, None])
-    return jnp.stack(outs, axis=1)  # [N, H, Ch]
+    if g.residual is not None:
+        m2c, s2c, acc2c = _spill_part(g, xp, asrc, adst, negative_slope)
+        rows = g.residual_rows
+        m2 = jnp.full((n0, h), NEG_INF).at[rows].set(m2c)
+        s2 = jnp.zeros((n0, h)).at[rows].set(s2c)
+        acc2 = jnp.zeros((n0, h, ch)).at[rows].set(acc2c)
+        # streaming-softmax merge of the two partials
+        big = jnp.maximum(m, m2)
+        w1 = jnp.exp(m - big)
+        w2 = jnp.exp(m2 - big)
+        s = s * w1 + s2 * w2
+        acc = acc * w1[..., None] + acc2 * w2[..., None]
+
+    return acc / jnp.maximum(s, 1e-16)[..., None]  # [N, H, Ch]

@@ -212,11 +212,13 @@ def gat_layer_init(key, d_in, heads, d_head, concat: bool) -> Params:
     }
 
 
-def gat_layer_apply(p, x, g: EllGraph, concat: bool):
+def gat_layer_apply(p, x, g: EllGraph, concat: bool, training: bool = True):
     xp = jnp.einsum("nf,fhc->nhc", x, p["w"])
     a_src = jnp.einsum("nhc,hc->nh", xp, p["a_src"])
     a_dst = jnp.einsum("nhc,hc->nh", xp, p["a_dst"])
-    out = gat_aggregate(g, xp, a_src, a_dst)  # [N, H, C]
+    # inference/eval runs the forward-only flash attention kernel;
+    # training needs autodiff through the softmax and keeps the XLA path
+    out = gat_aggregate(g, xp, a_src, a_dst, use_flash=not training)
     if concat:
         out = out.reshape(out.shape[0], -1)
     else:
@@ -345,10 +347,12 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
                 jax.random.split(rng, n_layers) if rng is not None else [None] * n_layers
             )
             for li, p in enumerate(params["layers"][:-1]):
-                h = gat_layer_apply(p, h, g, concat=True)
+                h = gat_layer_apply(p, h, g, concat=True, training=training)
                 h = jax.nn.elu(h)
                 h = _dropout(rngs[li], h, dropout, training)
-            h = gat_layer_apply(params["layers"][-1], h, g, concat=False)
+            h = gat_layer_apply(
+                params["layers"][-1], h, g, concat=False, training=training
+            )
             return h, state
 
         return Model(init, apply, arch, "gat", False)

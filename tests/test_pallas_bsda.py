@@ -126,3 +126,28 @@ def test_ring_variant_matches_window(monkeypatch):
     y_ref = np.asarray(bsda_spmm(g, x))
     y = np.asarray(PB.pallas_bsda_spmm(g, x))
     np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gat_matches_xla_dense():
+    """Flash GAT kernel (interpret mode) == the XLA dense-attention path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from elliptic_gnn_tpu.kernels import pallas_gat as PG
+    from elliptic_gnn_tpu.kernels.bsda import bfs_order, build_bsda_for_kind
+    from elliptic_gnn_tpu.kernels.bsda_gat import bsda_gat_aggregate
+
+    rng = np.random.default_rng(7)
+    n = 128 * 60
+    src = rng.integers(0, n, 3 * n)
+    dst = rng.integers(0, n, 3 * n)
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    rank = bfs_order(ei, n, np.zeros(n, np.int64))
+    ei = rank[ei]
+    g = build_bsda_for_kind(ei, n, "gat", depth=2)
+    h, ch = 4, 16
+    xp = jnp.asarray(rng.standard_normal((n, h, ch)), jnp.float32)
+    a_s = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    a_d = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    ref = np.asarray(bsda_gat_aggregate(g, xp, a_s, a_d, use_flash=False))
+    out = np.asarray(bsda_gat_aggregate(g, xp, a_s, a_d, use_flash=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
