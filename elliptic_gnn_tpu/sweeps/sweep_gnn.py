@@ -150,15 +150,22 @@ def point_best_to(outdir: str, output_root: str = "outputs") -> str:
 
 
 def run_sweep(base_cfg: dict, grid: dict, rank_key: str = "pr_auc_illicit",
-              output_root: str = "outputs") -> List[dict]:
+              output_root: str = "outputs", workers: int = 1,
+              worker_env: dict | None = None) -> List[dict]:
+    """Run the grid; with workers > 1, combos train concurrently in a
+    process pool (sweep-level data parallelism — the reference runs combos
+    strictly sequentially, /root/reference/src/sweeps/sweep_gnn.py:175-232).
+    Row order, skip-resume, and every output file stay identical to the
+    sequential path; only wall-clock columns differ."""
     keys = list(grid.keys())
     combos = [dict(zip(keys, vals)) for vals in itertools.product(*grid.values())]
     combos = normalize_combos(combos)
-    print(f"[SWEEP] {len(combos)} unique combinations after normalization")
+    print(f"[SWEEP] {len(combos)} unique combinations after normalization"
+          + (f" ({workers} workers)" if workers > 1 else ""))
 
-    rows = []
-    per_timestep_map = {}
-    for i, combo in enumerate(combos, 1):
+    rows: List[dict | None] = [None] * len(combos)
+    pending = []  # (row index, cfg, run_name) for combos not skip-resumed
+    for i, combo in enumerate(combos):
         cfg = copy.deepcopy(base_cfg)
         cfg["symmetrize_edges"] = True
         cfg.update(combo)
@@ -171,23 +178,56 @@ def run_sweep(base_cfg: dict, grid: dict, rank_key: str = "pr_auc_illicit",
             print(f"[SKIP] {rn} already has metrics.json")
             rec = read_metrics(rn, output_root)
             rec["dt_seconds"] = 0.0
-            rows.append(rec)
-            if rec.get("test_pr_auc_by_time"):
-                per_timestep_map[rn] = rec["test_pr_auc_by_time"]
+            rows[i] = rec
             continue
+        pending.append((i, cfg, rn))
 
-        print(f"\n[{i}/{len(combos)}] run_name={rn}")
-        t0 = time.time()
-        try:
-            train_main(cfg)
-        except Exception as e:  # keep sweeping past failed combos
-            print(f"[ERROR] {rn}: {e}")
-        rec = read_metrics(rn, output_root)
-        rec["dt_seconds"] = round(time.time() - t0, 2)
-        rows.append(rec)
-        if rec.get("test_pr_auc_by_time"):
-            per_timestep_map[rn] = rec["test_pr_auc_by_time"]
+    if workers <= 1:
+        for n, (i, cfg, rn) in enumerate(pending, 1):
+            print(f"\n[{n}/{len(pending)}] run_name={rn}")
+            t0 = time.time()
+            try:
+                train_main(cfg)
+            except Exception as e:  # keep sweeping past failed combos
+                print(f"[ERROR] {rn}: {e}")
+            rec = read_metrics(rn, output_root)
+            rec["dt_seconds"] = round(time.time() - t0, 2)
+            rows[i] = rec
+    elif pending:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor, as_completed
 
+        from . import _worker
+
+        # Children must re-import in a clean interpreter so each worker can
+        # pin its own platform/device before JAX initializes (spawn, never
+        # fork — a forked child would inherit the parent's TPU client).
+        env_fmt = {"EGNN_PLATFORM": "cpu"}
+        env_fmt.update(worker_env or {})
+        ctx = multiprocessing.get_context("spawn")
+        done = 0
+        with ProcessPoolExecutor(
+            max_workers=workers, mp_context=ctx,
+            initializer=_worker.init_worker, initargs=(env_fmt,),
+        ) as pool:
+            futs = {pool.submit(_worker.run_one, cfg): (i, rn)
+                    for i, cfg, rn in pending}
+            for fut in as_completed(futs):
+                i, rn = futs[fut]
+                err, dt = fut.result()
+                done += 1
+                if err:
+                    print(f"[ERROR] {rn}: {err}")
+                print(f"[{done}/{len(pending)}] done run_name={rn} dt={dt}s")
+                rec = read_metrics(rn, output_root)
+                rec["dt_seconds"] = dt
+                rows[i] = rec
+
+    rows = [r for r in rows if r is not None]
+    per_timestep_map = {
+        r["run_name"]: r["test_pr_auc_by_time"]
+        for r in rows if r.get("test_pr_auc_by_time")
+    }
     sweep_dir = ensure_dir(os.path.join(output_root, "sweeps"))
     _write_outputs(rows, per_timestep_map, sweep_dir, rank_key, output_root)
     return rows
@@ -240,6 +280,18 @@ if __name__ == "__main__":
                     help="metric to rank by (e.g. pr_auc_last3)")
     ap.add_argument("--grid", type=str, default=None,
                     help="yaml file mapping config keys to value lists")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="combos trained concurrently (process pool; "
+                         "workers default to the CPU backend so they don't "
+                         "fight over a single TPU chip)")
+    ap.add_argument("--output_root", type=str, default="outputs")
+    ap.add_argument("--worker_env", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="env var for each worker; {slot} expands to the "
+                         "0-based worker index, e.g. "
+                         "TPU_VISIBLE_DEVICES={slot} for one chip per "
+                         "worker, or EGNN_PLATFORM=tpu to override the "
+                         "cpu default")
     args = ap.parse_args()
 
     with open(args.base) as f:
@@ -249,4 +301,6 @@ if __name__ == "__main__":
             grid = yaml.safe_load(f)
     else:
         grid = DEFAULT_GRID
-    run_sweep(base_cfg, grid, rank_key=args.rank_key)
+    wenv = dict(kv.split("=", 1) for kv in args.worker_env)
+    run_sweep(base_cfg, grid, rank_key=args.rank_key, workers=args.workers,
+              worker_env=wenv, output_root=args.output_root)

@@ -213,6 +213,39 @@ def test_sweep_gnn(env, monkeypatch, tmp_path):
     assert all(r["dt_seconds"] == 0.0 for r in rows2)
 
 
+def test_sweep_gnn_parallel(env, monkeypatch, tmp_path):
+    """--workers N trains combos in a process pool; ranking and metrics
+    must match the sequential sweep exactly (only wall-clock differs)."""
+    from elliptic_gnn_tpu.sweeps import sweep_gnn
+
+    monkeypatch.chdir(tmp_path)
+    base = {
+        "seed": 3, "processed_dir": env["processed"],
+        "arch": "sage", "hidden_dim": 16, "layers": 2, "dropout": 0.0,
+        "lr": 0.01, "weight_decay": 1e-4, "max_epochs": 3, "patience": 3,
+        "topk": 20, "calibrate_temperature": False,
+    }
+    grid = {"hidden_dim": [16, 24], "lr": [0.01]}
+
+    def leaderboard_sans_time(root):
+        with open(os.path.join(root, "sweeps", "leaderboard.tsv")) as f:
+            return [l.rsplit("\t", 1)[0] for l in f.read().splitlines()]
+
+    seq_root = str(tmp_path / "out_seq")
+    par_root = str(tmp_path / "out_par")
+    sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
+                        output_root=seq_root)
+    rows = sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
+                               output_root=par_root, workers=2)
+    assert len(rows) == 2
+    assert all(isinstance(r.get("pr_auc_illicit"), float) for r in rows)
+    assert leaderboard_sans_time(par_root) == leaderboard_sans_time(seq_root)
+    # resume semantics survive the parallel path
+    rows2 = sweep_gnn.run_sweep(base, grid, rank_key="pr_auc_illicit",
+                                output_root=par_root, workers=2)
+    assert all(r["dt_seconds"] == 0.0 for r in rows2)
+
+
 def test_predict_cli(env):
     from elliptic_gnn_tpu.train import predict as P
 
