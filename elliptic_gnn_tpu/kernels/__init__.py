@@ -10,13 +10,12 @@ from .ell import EllGraph, build_ell_graph, ell_spmm, ell_gat_aggregate  # noqa:
 
 def spmm(g, x, compute_dtype=None):
     """Aggregation dispatch by encoding type:
-      BsdaGraph        -> MXU batched dense chunk matmuls (primary path)
+      BsdaGraph        -> banded Pallas kernel when use_pallas_kernel,
+                          else MXU batched dense chunk matmuls via XLA
       ShardedBsda      -> explicit halo-exchange shard_map variant
-      PallasSpmmGraph  -> Pallas block-diagonal kernel
       EllGraph         -> pure-XLA gather ELL (fallback/oracle)
     """
     from .bsda import BsdaGraph, bsda_spmm
-    from .pallas_spmm import PallasSpmmGraph, pallas_spmm_apply
 
     if isinstance(g, BsdaGraph):
         if g.use_pallas_kernel:
@@ -24,8 +23,6 @@ def spmm(g, x, compute_dtype=None):
 
             return pallas_bsda_spmm(g, x, compute_dtype=compute_dtype)
         return bsda_spmm(g, x, compute_dtype=compute_dtype)
-    if isinstance(g, PallasSpmmGraph):
-        return pallas_spmm_apply(g, x, compute_dtype=compute_dtype)
     from ..parallel.shardmap_step import ShardedBsda, sharded_bsda_spmm
 
     if isinstance(g, ShardedBsda):

@@ -4,7 +4,8 @@ These are the correctness oracles for the framework's three sparse
 primitives — gather/scatter SpMM, SDDMM and segment-softmax — which in the
 reference live inside PyG's compiled torch_scatter/pyg_lib kernels
 (reference models/gnn.py:8 via GCNConv/SAGEConv/GATConv). The optimized
-TPU paths (kernels/ell.py, kernels/pallas_spmm.py) are tested against these.
+TPU paths (kernels/ell.py, kernels/bsda.py, kernels/pallas_bsda.py) are
+tested against these.
 
 Convention: messages flow src -> dst; `dst` are the segment ids.
 """

@@ -67,32 +67,15 @@ MODEL_GRAPH_KIND = {
 }
 
 
-def prepare_graph_ops(edge_index: np.ndarray, num_nodes: int, kind: str,
-                      block_ids: Optional[np.ndarray] = None,
-                      use_pallas: bool = False):
-    """Build the model-specific aggregation encoding (host-side, one-time).
+def prepare_graph_ops(edge_index: np.ndarray, num_nodes: int, kind: str):
+    """Build the model-specific ELL aggregation encoding (host-side,
+    one-time). The BSDA encodings (kernels/bsda.py) are built directly by
+    the trainer; this covers the always-valid fallback path.
 
     'sage': mean aggregation over the raw (possibly symmetrized) edges.
     'gcn':  self-loops + symmetric-norm edge weights, sum aggregation.
     'gat':  self-loops, unit validity weights (attention computed in-model).
-
-    With use_pallas + block_ids (nodes sorted by a block id, all edges
-    intra-block — the Elliptic timestep structure), SAGE/GCN get the Pallas
-    block-diagonal kernel encoding (kernels/pallas_spmm.py); GAT keeps the
-    ELL path (attention fused there).
     """
-    if use_pallas and block_ids is not None and kind in ("sage", "gcn"):
-        from ..kernels.pallas_spmm import build_pallas_spmm_graph
-
-        if kind == "sage":
-            return build_pallas_spmm_graph(
-                edge_index, num_nodes, block_ids, mean=True
-            )
-        ei = add_self_loops(edge_index, num_nodes)
-        w = gcn_norm_weights(ei, num_nodes)
-        return build_pallas_spmm_graph(
-            ei, num_nodes, block_ids, edge_weights=w, mean=False
-        )
     if kind == "sage":
         return build_ell_graph(edge_index, num_nodes, mean=True)
     if kind == "gcn":

@@ -105,16 +105,12 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
       'bsda_pallas'  banded Pallas kernel over the int8 factored-scale
                      encoding (primary on TPU; sage/gcn, full-batch)
       'bsda'         MXU block-sparse dense via XLA einsum (primary off-TPU)
-      'pallas_block' Pallas block-diagonal kernel (intra-timestep graphs;
-                     interpret-mode off-TPU — opt-in)
       'ell'          pure-XLA gather ELL (always valid)
     """
     mode = cfg.get("aggregation", "auto")
-    if cfg.get("use_pallas", False):  # explicit legacy switch
-        mode = "pallas_block"
+    if cfg.get("use_pallas", False):  # legacy switch for the Pallas path
+        mode = "bsda_pallas"
     if cfg.get("mini_batch", False) or kind not in ("sage", "gcn", "gat"):
-        return "ell"
-    if kind == "gat" and mode == "pallas_block":
         return "ell"
     if mode == "auto":
         # pallas_call does not partition under GSPMD; meshes keep the
@@ -127,17 +123,10 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
         # the banded kernel covers sage/gcn; GAT attention stays on the
         # dense-chunk path (kernels/bsda_gat.py)
         return "bsda" if kind == "gat" else "bsda_pallas"
-    if mode == "pallas_block":
-        ts = data.timestep
-        intra = bool((ts[data.edge_index[0]] == ts[data.edge_index[1]]).all())
-        if not intra:
-            print("[PALLAS] cross-block edges; falling back to ELL")
-            return "ell"
-        return "pallas_block"
     if mode not in ("bsda", "ell", "shard_map"):
         raise ValueError(
             f"Unknown aggregation {mode!r}; expected one of "
-            "auto/bsda/bsda_pallas/pallas_block/ell/shard_map"
+            "auto/bsda/bsda_pallas/ell/shard_map"
         )
     return str(mode)
 
@@ -185,18 +174,6 @@ def build_train_state(cfg: dict, data, seed: int):
                         gops.transpose, use_pallas_kernel=True
                     ),
                 )
-    elif agg == "pallas_block":
-        # Pallas block kernel wants nodes sorted by timestep (block-diagonal
-        # adjacency); output already lands in node order.
-        if not (np.diff(data.timestep) >= 0).all():
-            rank_ts = np.argsort(
-                np.argsort(data.timestep, kind="stable")
-            ).astype(np.int32)
-            data = data.renumber(rank_ts)
-        gops = prepare_graph_ops(
-            data.edge_index, data.num_nodes, kind,
-            block_ids=data.timestep, use_pallas=True,
-        )
     else:
         gops = prepare_graph_ops(data.edge_index, data.num_nodes, kind)
         # Bucket renumbering: relabel nodes so aggregation output lands
