@@ -1,0 +1,180 @@
+"""Fully-packed GAT forward: the whole eval stack in [N, pack] form.
+
+Why this exists: TPU arrays tile the minor dimension to 128 lanes (and the
+second-minor to 8 sublanes), so the "natural" GAT intermediates are
+catastrophically padded in HBM — a [N, heads=4] f32 coefficient array
+occupies 32x its logical bytes, a [N, 4, 8] per-head feature tensor 16x.
+Profiling the round-1 path showed those relayouts/pads dominating the
+aggregate (≥3 ms of a 5.6 ms aggregate at Elliptic scale).
+
+This module eliminates every narrow intermediate:
+
+  1. projection + attention coefficients fuse into ONE GEMM:
+       payload = h_in @ P,  P = [ W.reshape(F, H*Ch) | W a_src | W a_dst | 0 ]
+     (a_src/a_dst are linear in the projected features, so they fold into
+     the projection matrix) — producing the flash kernel's packed payload
+     [N, pack] directly, perfectly lane-tiled;
+  2. the banded flash kernel (pallas_gat.py) consumes and emits packed
+     rows [ acc | m | s | pad ];
+  3. the residual-spill streaming-softmax merge gathers only the few spill
+     rows (R ~ hundreds) before touching narrow lanes;
+  4. softmax normalization + bias + ELU happen in packed space: the
+     denominator is broadcast from the s-lanes to the acc-lanes with a
+     constant [pack, pack] selector matmul (MXU) instead of a reshape;
+  5. the next layer's GEMM consumes the packed activation directly — its
+     projection matrix simply has zero rows for the m/s/pad lanes.
+
+Forward-only (inference + per-epoch val eval). Training keeps the
+autodiff-able XLA path in bsda_gat.py. Semantics match PyG GATConv
+(reference src/models/gnn.py:56-76): LeakyReLU(0.2) scores, per-destination
+softmax over the self-looped edge multiset, ELU + concat between layers,
+single-head final layer.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bsda import BsdaGraph
+from .pallas_gat import NEG_INF, flash_eligible, flash_gat_payload, pack_width
+
+
+def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
+    """Merge the residual-spill attention partials into the packed kernel
+    output (streaming-softmax merge of (m, s, acc) triples), all on gathered
+    spill rows only. Mirrors bsda_gat.py::_spill_part."""
+    res = g.residual
+    if res is None:
+        return out
+    hc = h * ch
+    rows = g.residual_rows  # compact spill row -> node id
+    m2p, s2p, accp = [], [], []
+    for nbr, w, rws in zip(res.nbrs, res.weights, res.rows):
+        pay_n = payload[nbr]                     # [R, W, pack] small gather
+        asrc_n = pay_n[..., hc: hc + h]          # [R, W, H]
+        adst_r = payload[rows[rws]][:, hc + h: hc + 2 * h]  # [R, H]
+        sc = asrc_n + adst_r[:, None, :]
+        sc = jnp.where(sc >= 0, sc, sc * negative_slope)
+        sc = jnp.where((w > 0)[:, :, None], sc, NEG_INF)
+        m_l = jnp.max(sc, axis=1)                # [R, H]
+        e = jnp.exp(sc - m_l[:, None, :]) * w[:, :, None]
+        s_l = e.sum(axis=1)
+        xp_n = pay_n[..., :hc].reshape(*pay_n.shape[:2], h, ch)
+        acc_l = jnp.einsum(
+            "rwh,rwhf->rhf", e, xp_n, preferred_element_type=jnp.float32
+        )
+        m2p.append(m_l)
+        s2p.append(s_l)
+        accp.append(acc_l)
+    if res.n_zero_deg:
+        z = res.n_zero_deg
+        m2p.append(jnp.full((z, h), NEG_INF))
+        s2p.append(jnp.zeros((z, h)))
+        accp.append(jnp.zeros((z, h, ch)))
+    m2 = jnp.concatenate(m2p)
+    s2 = jnp.concatenate(s2p)
+    acc2 = jnp.concatenate(accp)
+    if res.inv_perm is not None:
+        m2 = m2[res.inv_perm]
+        s2 = s2[res.inv_perm]
+        acc2 = acc2[res.inv_perm]
+
+    cur = out[rows]                              # [R, pack] small gather
+    m1 = cur[:, hc: hc + h]
+    s1 = cur[:, hc + h: hc + 2 * h]
+    acc1 = cur[:, :hc].reshape(-1, h, ch)
+    big = jnp.maximum(m1, m2)
+    w1 = jnp.exp(m1 - big)
+    w2 = jnp.exp(m2 - big)
+    s = s1 * w1 + s2 * w2
+    acc = acc1 * w1[..., None] + acc2 * w2[..., None]
+    merged = jnp.concatenate(
+        [acc.reshape(-1, hc), big, s,
+         jnp.zeros((big.shape[0], out.shape[1] - hc - 2 * h), out.dtype)],
+        axis=1,
+    )
+    return out.at[rows].set(merged)
+
+
+def packed_gat_forward(layer_params, x, g, negative_slope: float = 0.2):
+    """Forward pass of the whole GAT stack in packed form.
+
+    layer_params: list of {"w" [F,H,Ch], "a_src" [H,Ch], "a_dst" [H,Ch],
+    "b" [out]} (models/modules.py gat_layer_init); hidden layers concat
+    heads, the final layer must be single-head (concat=False semantics).
+    x [N, F] node features (padded rows beyond N are fine). Returns logits
+    [N, num_classes], or None when the flash kernel doesn't support the
+    graph/shape (caller falls back to the unpacked path).
+    """
+    if not isinstance(g, BsdaGraph):
+        return None
+    shapes = [p["w"].shape for p in layer_params]
+    if any(not flash_eligible(g, s[1], s[2]) for s in shapes):
+        return None
+    if shapes[-1][1] != 1:  # final layer is heads=1 (gnn.py:74 concat=False)
+        return None
+
+    n0 = x.shape[0]
+    n_pad = g.num_chunks * g.chunk
+    if n0 > n_pad:
+        return None
+    h_in = x.astype(jnp.float32)
+    if n0 < n_pad:
+        h_in = jnp.concatenate(
+            [h_in, jnp.zeros((n_pad - n0, x.shape[1]), jnp.float32)], axis=0
+        )
+
+    n_layers = len(layer_params)
+    for li, p in enumerate(layer_params):
+        w = p["w"].astype(jnp.float32)
+        f_in, h, ch = w.shape
+        hc = h * ch
+        pack = pack_width(h, ch)
+        # fold the attention coefficients into the projection: ONE GEMM
+        # emits [ x_proj | a_src | a_dst | 0 ] packed rows
+        a_s_col = jnp.einsum("fhc,hc->fh", w, p["a_src"].astype(jnp.float32))
+        a_d_col = jnp.einsum("fhc,hc->fh", w, p["a_dst"].astype(jnp.float32))
+        proj = jnp.concatenate(
+            [w.reshape(f_in, hc), a_s_col, a_d_col,
+             jnp.zeros((f_in, pack - hc - 2 * h), jnp.float32)],
+            axis=1,
+        )
+        if h_in.shape[1] > f_in:
+            # packed input from the previous layer: its m/s/pad lanes get
+            # zero projection rows
+            proj = jnp.concatenate(
+                [proj, jnp.zeros((h_in.shape[1] - f_in, pack), jnp.float32)],
+                axis=0,
+            )
+        elif h_in.shape[1] < f_in:
+            return None
+        payload = h_in @ proj  # [n_pad, pack]
+
+        out = flash_gat_payload(g, payload, h, ch, negative_slope)
+        if out is None:
+            return None
+        out = _spill_merge_packed(g, payload, out, h, ch, negative_slope)
+
+        # packed normalization: broadcast the s-lanes over the acc lanes
+        # with a constant selector matmul; every non-acc lane divides by 1
+        S = np.zeros((pack, pack), np.float32)
+        for hh in range(h):
+            S[hc + h + hh, hh * ch: (hh + 1) * ch] = 1.0
+        inv_mask = np.ones(pack, np.float32)
+        inv_mask[:hc] = 0.0
+        denom = jax.lax.dot(out, jnp.asarray(S)) + jnp.asarray(inv_mask)
+        val = out / jnp.maximum(denom, 1e-16)
+
+        if li == n_layers - 1:
+            ncls = p["b"].shape[0]
+            return (val[:, :ncls] + p["b"])[:n0]
+        # bias on the acc lanes only (zero elsewhere)
+        val = val + jnp.concatenate(
+            [p["b"].astype(jnp.float32),
+             jnp.zeros((pack - hc,), jnp.float32)]
+        )
+        # ELU on all lanes: the garbage m/s lanes are zeroed by the next
+        # layer's projection rows anyway
+        h_in = jax.nn.elu(val)
+    return None  # unreachable

@@ -9,9 +9,10 @@ across the D source slots, and accumulates the weighted feature sum — the
 only HBM traffic is the int8 multiplicity table, the packed node payload
 (features + attention coefficients), and the packed output.
 
-Node payload packing (one 128-lane row per node, so the banded ring
-machinery from pallas_bsda.py applies unchanged):
-    [ x_proj (H*Ch) | a_src (H) | a_dst (H) | zero pad ]   -> [N, 128]
+Node payload packing (one row of PACK lanes per node, PACK = the smallest
+multiple of 128 that fits H*Ch + 2H, so the banded ring machinery from
+pallas_bsda.py applies unchanged):
+    [ x_proj (H*Ch) | a_src (H) | a_dst (H) | zero pad ]   -> [N, PACK]
 Output packing per node: [ acc (H*Ch) | m (H) | s (H) | pad ] — the
 (max, sumexp, weighted-sum) triple that bsda_gat.py's streaming-softmax
 merge combines with the residual spill, so the result is bitwise the
@@ -36,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .bsda import BsdaGraph
 
-PACK = 128
+LANE = 128  # payload lanes are padded to a multiple of the VPU lane count
 GROUP = 4   # destination chunks per grid step (>= max_chunk_dist required)
 RING = 4
 NEG_INF = -1e30
@@ -48,9 +49,10 @@ def _interpret() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("c", "g_chunks", "d", "h", "ch", "negative_slope"),
+    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack",
+                     "negative_slope"),
 )
-def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
+def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch, pack,
                     negative_slope):
     b_pad = mult.shape[0]
     nb = b_pad // g_chunks
@@ -92,20 +94,23 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
 
         ones_col = jnp.ones((c, 1), jnp.float32)
         for g_i in range(g_chunks):
-            own = chunk_payload(base + g_i)          # [C, PACK]
+            own = chunk_payload(base + g_i)          # [C, pack]
             # hoist per-slot work out of the head loop: payload values,
             # int8->f32 block conversion, the [H, Cj] transposed source
-            # coefficients, and the per-slot source maxima [1, H]
-            bufs, mults, asrcT, maxsrc = [], [], [], []
+            # coefficients, the per-slot source maxima [1, H], and the
+            # rank-1 source exp factors (see below)
+            bufs, mults, asrcT, maxsrc, ebp, ebn = [], [], [], [], [], []
             for d_i in range(d):
                 src = src_ref[base + g_i, d_i]
-                buf = chunk_payload(src)             # [C, PACK]
+                buf = chunk_payload(src)             # [C, pack]
                 bufs.append(buf)
                 mults.append(a_ref[g_i, d_i].astype(jnp.float32))
-                asrcT.append(jnp.transpose(buf[:, hc: hc + h]))  # [H, Cj]
-                maxsrc.append(
-                    jnp.max(buf[:, hc: hc + h], axis=0, keepdims=True)
-                )
+                bsrc = jnp.transpose(buf[:, hc: hc + h])  # [H, Cj]
+                asrcT.append(bsrc)
+                mb = jnp.max(bsrc, axis=1, keepdims=True)  # [H, 1]
+                maxsrc.append(jnp.transpose(mb))           # [1, H]
+                ebp.append(jnp.exp(bsrc - mb))
+                ebn.append(jnp.exp(negative_slope * (bsrc - mb)))
             m_out, s_out, acc_out = [], [], []
             for hh in range(h):
                 adst_h = own[:, hc + h + hh: hc + h + hh + 1]  # [Ci, 1]
@@ -115,18 +120,34 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
                 # upper bound is exact math (shift-invariance); masked
                 # entries contribute nothing because e is multiplied by
                 # the multiplicity pattern (0 on non-edges).
-                m = None
+                cands, m = [], None
                 for d_i in range(d):
                     cand = adst_h + maxsrc[d_i][:, hh: hh + 1]
-                    cand = jnp.where(
+                    cands.append(cand)
+                    lr = jnp.where(
                         cand >= 0, cand, cand * negative_slope)
-                    m = cand if m is None else jnp.maximum(m, cand)
+                    m = lr if m is None else jnp.maximum(m, lr)
                 acc_ext = jnp.zeros((c, ch + 1), jnp.float32)
                 for d_i in range(d):
-                    raw = asrcT[d_i][hh: hh + 1, :] + adst_h  # [Ci, Cj]
-                    sc = jnp.where(
-                        raw >= 0, raw, raw * negative_slope)
-                    e = jnp.exp(sc - m) * mults[d_i]
+                    # rank-1 separable exp: with t = a_dst_i + a_src_j,
+                    # Mb = max_j a_src_j, and s the leaky slope,
+                    #   exp(lrelu(t) - m) =
+                    #     t >= 0: exp(a_dst_i + Mb - m) * exp(a_src_j - Mb)
+                    #     t <  0: exp(s*(a_dst_i+Mb) - m) * exp(s*(a_src_j-Mb))
+                    # i.e. an outer product of a [C,1] row factor and a
+                    # [1,C] column factor per branch, selected by sign(t).
+                    # All four exponents are <= 0 (m >= lrelu(cand) per
+                    # slot), so nothing overflows; the C*C exp grid becomes
+                    # O(C) exps + one select — the VPU transcendental cost
+                    # drops ~C/4x.
+                    pa = jnp.exp(cands[d_i] - m)                    # [Ci,1]
+                    na = jnp.exp(negative_slope * cands[d_i] - m)   # [Ci,1]
+                    t = asrcT[d_i][hh: hh + 1, :] + adst_h   # [Ci, Cj]
+                    e = jnp.where(
+                        t >= 0,
+                        pa * ebp[d_i][hh: hh + 1, :],
+                        na * ebn[d_i][hh: hh + 1, :],
+                    ) * mults[d_i]
                     # ones-column: one dot yields the weighted feature sum
                     # AND the softmax denominator
                     rhs = jnp.concatenate(
@@ -139,11 +160,11 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
                 m_out.append(m)
                 s_out.append(acc_ext[:, ch: ch + 1])
                 acc_out.append(acc_ext[:, :ch])
-            # pack [acc | m | s | pad] into the 128-lane output row
+            # pack [acc | m | s | pad] into the pack-lane output row
             packed = jnp.concatenate(
                 [jnp.concatenate(acc_out, axis=1)]
                 + m_out + s_out
-                + [jnp.zeros((c, PACK - hc - 2 * h), jnp.float32)],
+                + [jnp.zeros((c, pack - hc - 2 * h), jnp.float32)],
                 axis=1,
             )
             out_ref[g_i] = packed
@@ -157,22 +178,22 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
                 lambda bi, src: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # packed x stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (g_chunks, c, PACK),
+            (g_chunks, c, pack),
             lambda bi, src: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING * g_chunks, c, PACK), packed3.dtype),
+            pltpu.VMEM((RING * g_chunks, c, pack), packed3.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, c, PACK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, pack), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -181,12 +202,74 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch,
             flops=2 * b_pad * d * h * c * c * ch,
             bytes_accessed=(
                 int(np.prod(mult.shape)) * mult.dtype.itemsize
-                + 2 * b_pad * c * PACK * 4
+                + 2 * b_pad * c * pack * 4
             ),
-            transcendentals=b_pad * d * h * c * c,
+            transcendentals=b_pad * d * h * 4 * c,
         ),
         interpret=_interpret(),
     )(src_chunk, mult, packed3)
+
+
+def pack_width(h: int, ch: int) -> int:
+    """Payload lane count for an (h, ch) head shape."""
+    return ((h * ch + 2 * h + LANE - 1) // LANE) * LANE
+
+
+def flash_eligible(g: BsdaGraph, h: int, ch: int) -> bool:
+    """True when the banded flash kernel supports this graph/head shape.
+    VMEM budget: ring + output + score transients cap the payload width."""
+    g_chunks = max(GROUP, int(g.max_chunk_dist))
+    b = g.num_chunks
+    pad_b = (-b) % g_chunks
+    return (
+        pack_width(h, ch) <= 512
+        and g_chunks <= 64
+        and b >= 2
+        and (b + pad_b) // g_chunks > RING
+    )
+
+
+def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
+                      negative_slope=0.2):
+    """Run the flash kernel on an already-packed node payload.
+
+    payload [N_pad, pack] rows `[ x_proj (h*ch) | a_src (h) | a_dst (h) |
+    pad ]`, N_pad = num_chunks * chunk. Returns the packed output
+    [N_pad, pack] rows `[ acc (h*ch) | m (h) | s (h) | pad ]`, or None when
+    the shape doesn't fit the packing. Keeping both sides packed avoids the
+    TPU tiling tax on narrow [N, h]/[N, h, ch] tensors (minor dims pad to
+    128 lanes — a [N, 4] f32 array occupies 32x its logical bytes in HBM).
+    """
+    c = g.chunk
+    b = g.num_chunks
+    d = g.depth
+    pack = pack_width(h, ch)
+    g_chunks = max(GROUP, int(g.max_chunk_dist))
+    if payload.shape != (b * c, pack) or not flash_eligible(g, h, ch):
+        return None
+    pad_b = (-b) % g_chunks
+    b_pad = b + pad_b
+
+    payload = payload.astype(jnp.float32).reshape(b, c, pack)
+    mult = g.a
+    src_chunk = g.src_chunk
+    if pad_b:
+        mult = jnp.concatenate(
+            [mult, jnp.zeros((pad_b,) + mult.shape[1:], mult.dtype)], axis=0
+        )
+        src_chunk = jnp.concatenate(
+            [src_chunk, jnp.full((pad_b, d), b - 1, src_chunk.dtype)], axis=0
+        )
+        payload = jnp.concatenate(
+            [payload, jnp.full((pad_b, c, pack), NEG_INF, payload.dtype)],
+            axis=0,
+        )
+
+    out = _flash_gat_call(
+        src_chunk, mult, payload, c=c, g_chunks=g_chunks, d=d, h=h, ch=ch,
+        pack=pack, negative_slope=float(negative_slope),
+    )
+    return out.reshape(b_pad * c, pack)[: b * c]
 
 
 def flash_gat_dense(g: BsdaGraph, xp, asrc, adst, negative_slope=0.2):
@@ -198,16 +281,9 @@ def flash_gat_dense(g: BsdaGraph, xp, asrc, adst, negative_slope=0.2):
     the caller. Returns None when the shape doesn't fit the packing.
     """
     n_pad, h, ch = xp.shape
-    c = g.chunk
-    b = g.num_chunks
-    d = g.depth
     hc = h * ch
-    g_chunks = max(GROUP, int(g.max_chunk_dist))
-    if hc + 2 * h > PACK or n_pad != b * c or g_chunks > 64 or b < 2:
-        return None
-    pad_b = (-b) % g_chunks
-    b_pad = b + pad_b
-    if b_pad // g_chunks <= RING:
+    pack = pack_width(h, ch)
+    if n_pad != g.num_chunks * g.chunk or not flash_eligible(g, h, ch):
         return None
 
     payload = jnp.concatenate(
@@ -215,30 +291,13 @@ def flash_gat_dense(g: BsdaGraph, xp, asrc, adst, negative_slope=0.2):
             xp.reshape(n_pad, hc).astype(jnp.float32),
             asrc.astype(jnp.float32),
             adst.astype(jnp.float32),
-            jnp.zeros((n_pad, PACK - hc - 2 * h), jnp.float32),
+            jnp.zeros((n_pad, pack - hc - 2 * h), jnp.float32),
         ],
         axis=1,
-    ).reshape(b, c, PACK)
-
-    mult = g.a
-    src_chunk = g.src_chunk
-    if pad_b:
-        mult = jnp.concatenate(
-            [mult, jnp.zeros((pad_b,) + mult.shape[1:], mult.dtype)], axis=0
-        )
-        src_chunk = jnp.concatenate(
-            [src_chunk, jnp.full((pad_b, d), b - 1, src_chunk.dtype)], axis=0
-        )
-        payload = jnp.concatenate(
-            [payload, jnp.full((pad_b, c, PACK), NEG_INF, payload.dtype)],
-            axis=0,
-        )
-
-    out = _flash_gat_call(
-        src_chunk, mult, payload, c=c, g_chunks=g_chunks, d=d, h=h, ch=ch,
-        negative_slope=float(negative_slope),
     )
-    out = out.reshape(b_pad * c, PACK)[:n_pad]
+    out = flash_gat_payload(g, payload, h, ch, negative_slope)
+    if out is None:
+        return None
     acc = out[:, :hc].reshape(n_pad, h, ch)
     m = out[:, hc: hc + h]
     s = out[:, hc + h: hc + 2 * h]

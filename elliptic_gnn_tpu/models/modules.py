@@ -195,13 +195,21 @@ def gat_layer_init(key, d_in, heads, d_head, concat: bool) -> Params:
     }
 
 
+def _flash_ok() -> bool:
+    """Flash/packed GAT kernels are a real win only on TPU; off-TPU they
+    would run in Pallas interpret mode (orders of magnitude slower than
+    the XLA path). Kernel tests exercise interpret mode directly."""
+    return jax.default_backend() == "tpu"
+
+
 def gat_layer_apply(p, x, g: EllGraph, concat: bool, training: bool = True):
     xp = jnp.einsum("nf,fhc->nhc", x, p["w"])
     a_src = jnp.einsum("nhc,hc->nh", xp, p["a_src"])
     a_dst = jnp.einsum("nhc,hc->nh", xp, p["a_dst"])
     # inference/eval runs the forward-only flash attention kernel;
     # training needs autodiff through the softmax and keeps the XLA path
-    out = gat_aggregate(g, xp, a_src, a_dst, use_flash=not training)
+    out = gat_aggregate(g, xp, a_src, a_dst,
+                        use_flash=not training and _flash_ok())
     if concat:
         out = out.reshape(out.shape[0], -1)
     else:
@@ -324,6 +332,15 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
                   axis_name=None, row_mask=None):
+            if not training and _flash_ok():
+                # inference/eval: the fully-packed forward keeps every
+                # intermediate at 128-lane tiling (kernels/packed_gat.py);
+                # None -> shape/graph unsupported, use the generic path
+                from ..kernels.packed_gat import packed_gat_forward
+
+                out = packed_gat_forward(params["layers"], x, g)
+                if out is not None:
+                    return out, state
             h = x
             n_layers = len(params["layers"])
             rngs = (
