@@ -63,7 +63,9 @@ def shard_ell_graph(g: EllGraph, mesh: Mesh) -> EllGraph:
     # inv_perm indexes into the *concatenated* permuted output; padding rows
     # shift bucket offsets, so remap old positions to padded positions.
     old_sizes = [int(np.asarray(n).shape[0]) for n in g.nbrs]
-    new_sizes = [int(np.asarray(n).shape[0]) for n in nbrs]
+    # shape only — np.asarray would fetch, which multi-host global arrays
+    # spanning non-addressable devices forbid
+    new_sizes = [int(n.shape[0]) for n in nbrs]
     zero_block_old = g.n_zero_deg
     zero_block_new = ((-zero_block_old) % n_dev) + zero_block_old if zero_block_old else 0
 

@@ -47,8 +47,9 @@ from ..graph import load_processed, make_temporal_masks
 from ..graph.transform import append_scalar_time, remove_hub_edges, symmetrize_edges
 from ..models import MODEL_GRAPH_KIND, build_model, prepare_graph_ops
 from ..models.losses import class_weights, make_loss_fn
+from ..parallel import multihost
 from ..utils.common import ensure_dir, log_device_info, save_json, set_seed
-from ..utils.logger import RunLogger
+from ..utils.logger import NullLogger, RunLogger
 from ..utils import metrics as M
 from . import calibrate, checkpoint
 
@@ -201,10 +202,18 @@ def build_train_state(cfg: dict, data, seed: int):
 
 
 def main(cfg: dict) -> dict:
+    # multi-controller (multi-host) runs: initialize jax.distributed from
+    # config/env; every host runs the identical lockstep loop, host 0 owns
+    # all artifact IO (SURVEY.md §2.3 comm-backend row)
+    multihost.maybe_initialize(cfg)
+    primary = multihost.is_primary()
     set_seed(cfg.get("seed", 42))
     outdir = os.path.join(cfg.get("output_root", "outputs"), "gnn", cfg["run_name"])
-    ensure_dir(outdir)
-    logger = RunLogger(outdir)
+    if primary:
+        ensure_dir(outdir)
+        logger = RunLogger(outdir)
+    else:
+        logger = NullLogger()
     log_device_info()
 
     data = prepare_data(cfg)
@@ -238,7 +247,14 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     # over an N-device `nodes` mesh. Default 1. `aggregation: shard_map`
     # selects the explicit-collective path (boundary-only halo exchange,
     # parallel/shardmap_step.py); anything else uses GSPMD.
-    n_mesh = int(cfg.get("mesh_devices", 1) or 1)
+    mesh_cfg = cfg.get("mesh_devices", 1) or 1
+    # 'all' = every chip across every host (the multi-controller setting)
+    n_mesh = len(jax.devices()) if mesh_cfg == "all" else int(mesh_cfg)
+    if multihost.process_count() > 1 and n_mesh != len(jax.devices()):
+        raise ValueError(
+            f"multi-host runs must shard over all {len(jax.devices())} "
+            f"global devices: set mesh_devices: all (got {mesh_cfg})"
+        )
     explicit_sm = n_mesh > 1 and str(cfg.get("aggregation", "auto")) == "shard_map"
     row_mask = None
     sm_sg = None
@@ -306,6 +322,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                 (np.arange(n_target) < n0).astype(np.float32)
             )
     val_idx = jnp.asarray(np.where(data.val_mask)[0].astype(np.int32))
+    if n_mesh > 1:
+        # every input to the global-mesh jit must live on the global mesh
+        # (multi-host forbids mixing process-local and global arrays)
+        val_idx = jax.device_put(val_idx, rep)
     t_idx_arg = t_all if model.uses_time_embed else None
     use_time_loss = str(cfg.get("time_loss_weighting", "none")) != "none"
 
@@ -329,7 +349,7 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         )
 
         @jax.jit
-        def _fuse(probs, loss):
+        def _fuse(probs, loss, val_idx):
             return jnp.concatenate(
                 [probs[val_idx], loss[None].astype(probs.dtype)]
             )
@@ -339,10 +359,14 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                 params, state, opt_state, rng, x, y_all, t_all,
                 train_mask_f, row_mask, sm_sg,
             )
-            return p, s, o, _fuse(probs, loss)
+            return p, s, o, _fuse(probs, loss, val_idx)
     else:
+        # NB: device data (labels/masks/val_idx) are ARGUMENTS, not closures
+        # — multi-host jit forbids closing over global arrays, and closures
+        # re-upload per retrace
         @jax.jit
-        def epoch_step(params, state, opt_state, rng, x, gops, t_idx_arg):
+        def _gspmd_step(params, state, opt_state, rng, x, gops, t_idx_arg,
+                        y_all, t_all, train_mask_f, row_mask, val_idx):
             def lf(p):
                 logits, new_state = model.apply(
                     p, state, x, gops, t_idx_arg, training=True, rng=rng,
@@ -367,6 +391,12 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                 [probs_val, loss[None].astype(probs_val.dtype)]
             )
             return new_params, new_state, new_opt, fused
+
+        def epoch_step(params, state, opt_state, rng, x, gops_, t_):
+            return _gspmd_step(
+                params, state, opt_state, rng, x, gops_, t_,
+                y_all, t_all, train_mask_f, row_mask, val_idx,
+            )
 
     y_val_bin = (data.y[data.val_mask] == 1).astype(int)
 
@@ -413,7 +443,7 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
                 f"Epoch {ep:4d} | loss {loss_f:.4f} | "
                 f"val PR-AUC(illicit) {pr_val:.4f} (best {best_val:.4f})"
             )
-        if ckpt_every and ep % ckpt_every == 0:
+        if ckpt_every and ep % ckpt_every == 0 and multihost.is_primary():
             checkpoint.save_resume(
                 outdir, params_e, state_e, opt_e, ep, best_val, bad,
                 best_params=best_params, best_state=best_state,
@@ -435,6 +465,10 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
         params, state, opt_state, fused = epoch_step(
             params, state, opt_state, step_rng, x, gops, t_idx_arg
         )
+        # multi-host: replicate the fused (val-probs, loss) vector so every
+        # host reads it and takes the same early-stop decision (no-op
+        # single-process)
+        fused = multihost.replicate_to_all_hosts(fused)
         if profile_dir and epoch == start_epoch + 5:
             try:
                 jax.profiler.stop_trace()
@@ -458,6 +492,14 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
     """Post-training tail shared by full-batch and mini-batch paths:
     full-graph eval, temperature scaling, artifacts, threshold + metrics,
     checkpoint, optional hub ablation, config echo (train_gnn.py:416-564)."""
+    if multihost.process_count() > 1:
+        # the trained params/state live replicated on the GLOBAL mesh; the
+        # final full-graph eval is cheap and runs per-host on local devices
+        # (fully-replicated arrays may be fetched host-side)
+        def _local(t):
+            return jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), t)
+
+        params, state = _local(params), _local(state)
     x = jnp.asarray(data.x)
     t_all = jnp.asarray(data.timestep.astype(np.int32))
     t_idx_arg = t_all if model.uses_time_embed else None
@@ -481,14 +523,16 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
         e = np.exp(z)
         return (e / e.sum(axis=1, keepdims=True))[:, 1]
 
+    primary = multihost.is_primary()
     probs = probs_from_logits(logits_full)
     metrics = finish_run(cfg, outdir, data, probs, best_val, extra={
         "train_seconds": float(train_seconds),
         "epochs_run": int(epochs_run),
         "edges_per_s": float(data.num_edges) * epochs_run / max(train_seconds, 1e-9),
         "temperature": float(temp),
-    })
-    checkpoint.save_best(outdir, params, state)
+    }, write=primary)
+    if primary:
+        checkpoint.save_best(outdir, params, state)
 
     frac = float(cfg.get("ablate_hubs_frac", 0.0) or 0.0)
     if frac > 0:
@@ -510,12 +554,15 @@ def _finalize(cfg, outdir, data, model, gops, params, state, best_val, logger,
             hub_fraction=frac,
             n_edges_remaining=int(ei_abl.shape[1]),
         )
-        save_json(os.path.join(outdir, "metrics_hub_removed.json"), hub_metrics)
+        if primary:
+            save_json(os.path.join(outdir, "metrics_hub_removed.json"), hub_metrics)
 
-    with open(os.path.join(outdir, "config_used.yaml"), "w") as f:
-        yaml.safe_dump(cfg, f)
+    if primary:
+        with open(os.path.join(outdir, "config_used.yaml"), "w") as f:
+            yaml.safe_dump(cfg, f)
+        print(json.dumps(metrics, indent=2))
     logger.close()
-    print(json.dumps(metrics, indent=2))
+    multihost.barrier("finalize")  # all hosts exit the run together
     return metrics
 
 
@@ -539,9 +586,10 @@ def test_metrics_at_threshold(cfg: dict, y_bin: np.ndarray, p_te: np.ndarray,
 
 
 def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
-               extra: Optional[dict] = None) -> dict:
+               extra: Optional[dict] = None, write: bool = True) -> dict:
     """Shared artifact + metrics emission: the run-directory contract
-    (train_gnn.py:456-523). `probs` are calibrated P(illicit) for all nodes."""
+    (train_gnn.py:456-523). `probs` are calibrated P(illicit) for all nodes.
+    `write=False` (non-primary hosts) computes metrics without touching disk."""
     y_np = data.y
     val_mask, test_mask = data.val_mask, data.test_mask
     timestep_np = data.timestep
@@ -556,14 +604,15 @@ def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
         if data.orig_index is not None
         else np.arange(len(y_np), dtype=np.int64)
     )
-    np.save(os.path.join(outdir, "scores_val.npy"), p_val)
-    np.save(os.path.join(outdir, "y_val.npy"), y_val)
-    np.save(os.path.join(outdir, "node_idx_val.npy"), orig[val_mask])
-    np.save(os.path.join(outdir, "timestep_val.npy"), timestep_np[val_mask])
-    np.save(os.path.join(outdir, "scores_test.npy"), p_te)
-    np.save(os.path.join(outdir, "y_test.npy"), y_te)
-    np.save(os.path.join(outdir, "node_idx_test.npy"), orig[test_mask])
-    np.save(os.path.join(outdir, "timestep_test.npy"), timestep_np[test_mask])
+    if write:
+        np.save(os.path.join(outdir, "scores_val.npy"), p_val)
+        np.save(os.path.join(outdir, "y_val.npy"), y_val)
+        np.save(os.path.join(outdir, "node_idx_val.npy"), orig[val_mask])
+        np.save(os.path.join(outdir, "timestep_val.npy"), timestep_np[val_mask])
+        np.save(os.path.join(outdir, "scores_test.npy"), p_te)
+        np.save(os.path.join(outdir, "y_test.npy"), y_te)
+        np.save(os.path.join(outdir, "node_idx_test.npy"), orig[test_mask])
+        np.save(os.path.join(outdir, "timestep_test.npy"), timestep_np[test_mask])
 
     # threshold selection (train_gnn.py:466-474)
     if cfg.get("use_val_for_thresholds", True):
@@ -589,7 +638,8 @@ def finish_run(cfg: dict, outdir: str, data, probs: np.ndarray, best_val: float,
     if extra:
         metrics.update(extra)
 
-    save_json(os.path.join(outdir, "metrics.json"), metrics)
+    if write:
+        save_json(os.path.join(outdir, "metrics.json"), metrics)
     return metrics
 
 

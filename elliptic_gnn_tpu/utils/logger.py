@@ -47,3 +47,15 @@ class RunLogger:
         self._fh.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """Drop-in no-op logger for non-primary hosts in multi-controller runs
+    (artifact IO is host-0-only; parallel/multihost.py)."""
+
+    def log_epoch(self, epoch: int, train_loss: float, val_pr_auc: float,
+                  extras: Optional[dict] = None) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
