@@ -3,10 +3,12 @@ edge/feature masks for GNN runs.
 
 Counterpart of /root/reference/src/analysis/explain.py (836 LoC):
   - `xgb` subcommand (explain.py:171-260): loads the baseline run's
-    model.pkl and attributes features. The reference uses SHAP
-    TreeExplainer on <=200 random test rows; this environment has no shap,
-    so attribution is permutation importance on <=200 random test rows
-    (model-agnostic, works for LR/XGB/HistGB alike). Artifacts keep the
+    model.pkl and attributes features on <=200 random test rows. Tree
+    models get EXACT TreeSHAP values (the reference runs
+    shap.TreeExplainer; the shap package is absent here, so
+    analysis/treeshap.py implements the exact algorithm from scratch —
+    additivity verified to float precision); the LR pipeline falls back
+    to model-agnostic permutation importance. Artifacts keep the
     reference names: shap_summary.png + xgb_top_features.json.
   - `gnn` subcommand (explain.py:264-731): rebuilds the model from
     config_used.yaml, auto-picks the node to explain (highest-scored TP,
@@ -54,21 +56,40 @@ def run_xgb(run_dir: str, processed_dir: str, n_samples: int = 200,
     n = min(n_samples, len(y_te))
     sel = rng.choice(len(y_te), size=n, replace=False)
 
-    from sklearn.inspection import permutation_importance
+    # tree models get exact SHAP values (the reference runs
+    # shap.TreeExplainer, explain.py:236-244 — here via the from-scratch
+    # exact TreeSHAP in analysis/treeshap.py); non-tree models (the LR
+    # pipeline) fall back to model-agnostic permutation importance
+    from sklearn.ensemble import HistGradientBoostingClassifier
 
-    result = permutation_importance(
-        model, x_te[sel], (y_te[sel] == 1).astype(int),
-        n_repeats=5, random_state=seed, scoring="average_precision",
-    )
-    imp = result.importances_mean
+    extra = {}
+    if isinstance(model, HistGradientBoostingClassifier):
+        from .treeshap import hist_gb_shap_values
+
+        phi, expected = hist_gb_shap_values(model, x_te[sel])
+        imp = np.abs(phi).mean(axis=0)
+        method = "tree_shap_exact"
+        extra = {"expected_value": float(expected), "space": "log_odds"}
+        xlabel = "mean |SHAP value| (log-odds)"
+    else:
+        from sklearn.inspection import permutation_importance
+
+        result = permutation_importance(
+            model, x_te[sel], (y_te[sel] == 1).astype(int),
+            n_repeats=5, random_state=seed, scoring="average_precision",
+        )
+        imp = result.importances_mean
+        method = "permutation_importance"
+        xlabel = "permutation importance (AP drop)"
     order = np.argsort(-imp)[:top_k]
     top = [
         {"feature": f"f{int(i)}", "importance": float(imp[i])} for i in order
     ]
     save_json(os.path.join(run_dir, "xgb_top_features.json"), {
-        "method": "permutation_importance",
+        "method": method,
         "n_samples": n,
         "top_features": top,
+        **extra,
     })
 
     import matplotlib
@@ -80,7 +101,7 @@ def run_xgb(run_dir: str, processed_dir: str, n_samples: int = 200,
     names = [t["feature"] for t in top][::-1]
     vals = [t["importance"] for t in top][::-1]
     plt.barh(names, vals)
-    plt.xlabel("permutation importance (AP drop)")
+    plt.xlabel(xlabel)
     plt.title(f"Top-{top_k} features ({n} test rows)")
     plt.tight_layout()
     plt.savefig(os.path.join(run_dir, "shap_summary.png"), dpi=200)

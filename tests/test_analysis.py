@@ -181,12 +181,43 @@ def test_baselines_lr_and_gbdt(env):
 def test_explain_xgb(env):
     from elliptic_gnn_tpu.analysis import explain
 
+    # LR pipeline -> model-agnostic permutation importance
     rd = os.path.join(env["out_root"], "baselines", "lr_t")
     explain.run_xgb(rd, env["processed"], n_samples=100)
     with open(os.path.join(rd, "xgb_top_features.json")) as f:
         res = json.load(f)
+    assert res["method"] == "permutation_importance"
     assert len(res["top_features"]) > 0
     assert os.path.exists(os.path.join(rd, "shap_summary.png"))
+
+    # tree model -> exact TreeSHAP (reference explain.py:236-244 semantics)
+    rd2 = os.path.join(env["out_root"], "baselines", "xgb_t")
+    explain.run_xgb(rd2, env["processed"], n_samples=60)
+    with open(os.path.join(rd2, "xgb_top_features.json")) as f:
+        res2 = json.load(f)
+    assert res2["method"] == "tree_shap_exact"
+    assert "expected_value" in res2
+    assert os.path.exists(os.path.join(rd2, "shap_summary.png"))
+
+
+def test_treeshap_additivity():
+    """Exact TreeSHAP local accuracy: sum(phi) + E[f] == decision_function
+    to float precision, on depth-limited and unlimited HistGB models."""
+    import numpy as np
+    from sklearn.ensemble import HistGradientBoostingClassifier
+    from elliptic_gnn_tpu.analysis.treeshap import hist_gb_shap_values
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((400, 9))
+    y = ((x[:, 0] + 0.5 * x[:, 3] - 0.3 * x[:, 7]
+          + 0.2 * rng.standard_normal(400)) > 0).astype(int)
+    for kw in ({"max_iter": 30, "max_depth": 4}, {"max_iter": 15}):
+        m = HistGradientBoostingClassifier(**kw).fit(x, y)
+        phi, ev = hist_gb_shap_values(m, x[:64])
+        np.testing.assert_allclose(
+            phi.sum(axis=1) + ev, m.decision_function(x[:64]),
+            rtol=0, atol=1e-9,
+        )
 
 
 def test_sweep_gnn(env, monkeypatch, tmp_path):
