@@ -196,6 +196,30 @@ def main() -> None:
     dt_ell, _ = differential_time(lambda c, gg: ell_spmm(gg, c), x_e, g_e)
     log(f"[bench] ELL SpMM: {dt_ell*1e3:.3f} ms ({e/dt_ell/1e9:.3f} Ge/s)")
 
+    # ---- GAT 2-layer forward (packed flash pipeline; VERDICT r1 target
+    # <= 8 ms at Elliptic scale) ----
+    from elliptic_gnn_tpu.models.modules import build_model
+
+    g_gat = B.build_bsda_for_kind(
+        data.edge_index, data.num_nodes, "gat", depth=3,
+        a_dtype="float32", transpose=False,
+    )
+    gat_model = build_model(
+        "gat", N_FEATURES,
+        {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0},
+    )
+    gat_params, _ = gat_model.init(jax.random.PRNGKey(0))
+
+    def gat_fwd(c, params, gg):
+        out, _ = gat_model.apply(params, {}, c, gg, training=False)
+        return c + jnp.pad(out, ((0, 0), (0, c.shape[1] - out.shape[1]))) * 1e-6
+
+    x_gat = jnp.asarray(data.x)
+    dt_gat, _ = differential_time(
+        gat_fwd, x_gat, gat_params, g_gat, n_small=2, n_big=10, repeats=2
+    )
+    log(f"[bench] GAT 2-layer forward (packed flash): {dt_gat*1e3:.3f} ms")
+
     # ---- end-to-end training epochs (timed inside the loop) ----
     from elliptic_gnn_tpu.train.train_gnn import (
         _train_loop_fullbatch, build_train_state,
@@ -236,6 +260,7 @@ def main() -> None:
             "hbm_gbps_spec": bw_spec,
             "hbm_gbps_measured_stream": bw_stream,
             "ell_spmm_ms": dt_ell * 1e3,
+            "gat_forward_ms": dt_gat * 1e3,
             "train_epoch_ms": epoch_s * 1e3,
             "device": dev.device_kind,
             "num_edges": int(e),
