@@ -157,3 +157,24 @@ def test_two_process_training_matches_single_process(tmp_path, processed):
     assert abs(mh["best_val_pr_auc"] - sp["best_val_pr_auc"]) < 1e-5
     assert abs(mh["pr_auc_illicit"] - sp["pr_auc_illicit"]) < 1e-5
     del procs
+
+
+def test_two_process_shardmap_halo_step(tmp_path, processed):
+    """The explicit-collective boundary-halo path (aggregation: shard_map,
+    parallel/shardmap_step.py) also runs across a REAL process boundary:
+    2 processes x 2 devices, halo exchange + psum over gloo."""
+    cfg = _cfg(processed, None, "mhsm")
+    cfg.update(run_name="mhsm", arch="sage", aggregation="shard_map",
+               max_epochs=3)
+    port = _free_port()
+    _wait(_launch(tmp_path, cfg, "mhsm", n_proc=2, dev_per_proc=2,
+                  port=port))
+    _wait(_launch(tmp_path, cfg, "spsm", n_proc=1, dev_per_proc=4))
+
+    mh = json.loads((tmp_path / "out_mhsm_p0" / "gnn" / "mhsm" /
+                     "metrics.json").read_text())
+    sp = json.loads((tmp_path / "out_spsm_p0" / "gnn" / "mhsm" /
+                     "metrics.json").read_text())
+    assert not (tmp_path / "out_mhsm_p1").exists()
+    assert abs(mh["best_val_pr_auc"] - sp["best_val_pr_auc"]) < 1e-5
+    assert abs(mh["pr_auc_illicit"] - sp["pr_auc_illicit"]) < 1e-5
