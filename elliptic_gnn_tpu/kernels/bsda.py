@@ -511,9 +511,60 @@ def build_bsda_for_kind(edge_index: np.ndarray, num_nodes: int, kind: str,
     if kind == "gat":
         # self-loops + unit weights: `a` holds edge multiplicities for the
         # dense-attention path (kernels/bsda_gat.py) — always int8 (exact;
-        # 4x less HBM traffic on the two score passes); attention gradients
-        # flow via autodiff (no transpose encoding)
+        # 4x less HBM traffic on the two score passes). With transpose=True
+        # the EXACT block-transpose of the dense tables is attached so the
+        # fused attention VJP (kernels/pallas_gat_bwd.py) partitions edges
+        # identically to the forward (an independently built transpose
+        # would assign some edges to different dense/spill sides and break
+        # gradient exactness).
         ei = add_self_loops(edge_index, num_nodes)
-        return build_bsda(ei, num_nodes, mean=False, depth=depth,
-                          a_dtype="int8")
+        g = build_bsda(ei, num_nodes, mean=False, depth=depth,
+                       a_dtype="int8")
+        if transpose:
+            g = dataclasses.replace(g, transpose=gat_block_transpose(g))
+        return g
     raise ValueError(f"BSDA supports sage/gcn/gat, not {kind!r}")
+
+
+def gat_block_transpose(g: BsdaGraph) -> BsdaGraph:
+    """Exact block-transpose of g's dense tables (no residual).
+
+    For every kept dense pair (dest chunk I, slot d) with source chunk
+    J = src_chunk[I, d], the transpose holds aT[J, slot'] = a[I, d] —
+    UNtransposed, [dest-row, src-col] orientation, which is what the
+    source-oriented backward sweep consumes directly — with
+    srcT[J, slot'] = I. The transpose depth is the max in-reference count
+    (banded ordering keeps it ~2*max_chunk_dist+1); padding slots point a
+    chunk at itself with zero multiplicities."""
+    a = np.asarray(g.a)
+    src = np.asarray(g.src_chunk)
+    b, d, c, _ = a.shape
+    nonzero = a.any(axis=(2, 3))
+    refs: list = [[] for _ in range(b)]
+    for i_chunk in range(b):
+        for slot in range(d):
+            if nonzero[i_chunk, slot]:
+                refs[int(src[i_chunk, slot])].append((i_chunk, slot))
+    dt = max(1, max(len(r) for r in refs))
+    a_t = np.zeros((b, dt, c, c), a.dtype)
+    src_t = np.empty((b, dt), np.int32)
+    for j_chunk in range(b):
+        for slot, (i_chunk, d_i) in enumerate(refs[j_chunk]):
+            a_t[j_chunk, slot] = a[i_chunk, d_i]
+            src_t[j_chunk, slot] = i_chunk
+        for slot in range(len(refs[j_chunk]), dt):
+            src_t[j_chunk, slot] = j_chunk
+    dist = int(np.abs(src_t - np.arange(b)[:, None]).max()) if b else 0
+    return BsdaGraph(
+        a=jnp.asarray(a_t),
+        src_chunk=jnp.asarray(src_t),
+        residual=None,
+        residual_rows=None,
+        num_nodes=g.num_nodes,
+        num_chunks=b,
+        depth=dt,
+        n_pad=g.n_pad,
+        a_dtype_name=g.a_dtype_name,
+        chunk=c,
+        max_chunk_dist=dist,
+    )

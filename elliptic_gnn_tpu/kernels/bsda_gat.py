@@ -125,53 +125,27 @@ def _spill_part(g: BsdaGraph, xp, asrc, adst, negative_slope):
     return m2, s2, acc2
 
 
-def bsda_gat_aggregate(
-    g: BsdaGraph,
-    x_proj: jnp.ndarray,
-    alpha_src: jnp.ndarray,
-    alpha_dst: jnp.ndarray,
-    negative_slope: float = 0.2,
-    use_flash: bool = False,
-) -> jnp.ndarray:
-    """Per-destination softmax-weighted neighbor sum, all heads.
+def _attend_impl(g: BsdaGraph, xp, asrc, adst, negative_slope, use_flash):
+    """Global segment-softmax attention on PADDED arrays.
 
-    x_proj [N, H, Ch], alpha_src/alpha_dst [N, H] -> [N, H, Ch].
-    `g` must be built from the self-looped edge set with unit weights
-    (build_bsda_for_kind(..., 'gat')): `a` then holds edge multiplicities.
-
-    The dense chunk-pair part runs per head (XLA fuses the score compute
-    into the max-reduce and the exp into the dot, so nothing [B,D,C,C]-
-    sized hits HBM); padding, the residual, and the streaming-softmax merge
-    are vectorized across heads (the round-1 per-head loop repeated those
-    ~N-sized scatters and pads H times).
+    xp [N_pad, H, Ch], asrc/adst [N_pad, H] (N_pad = num_chunks * chunk,
+    padded rows carry NEG_INF coefficients). Returns (y, m, s) all padded:
+    y [N_pad, H, Ch] the attention output, m/s [N_pad, H] the merged
+    (running-max, sum-exp) softmax state — the residuals the fused VJP
+    needs to reconstruct the softmax weights without re-reducing.
     """
-    n0, h, ch = x_proj.shape
-    n_pad = g.num_chunks * g.chunk - n0
-
-    def pad(v, fill=0.0):
-        if n_pad == 0:
-            return v
-        shape = (n_pad,) + v.shape[1:]
-        return jnp.concatenate([v, jnp.full(shape, fill, v.dtype)], axis=0)
-
-    xp = pad(x_proj)            # [N_pad, H, Ch]
-    asrc = pad(alpha_src, NEG_INF)  # [N_pad, H]
-    adst = pad(alpha_dst, NEG_INF)
+    n_pad, h, ch = xp.shape
 
     flash = None
     if use_flash:
         # forward-only Pallas kernel: the whole per-chunk softmax stays in
         # VMEM (kernels/pallas_gat.py) — ~8x less HBM traffic than the XLA
-        # dense path. Used on inference/eval; training needs autodiff and
-        # keeps the XLA path below.
+        # dense path
         from .pallas_gat import flash_gat_dense
 
         flash = flash_gat_dense(g, xp, asrc, adst, negative_slope)
     if flash is not None:
-        m_p, s_p, acc_p = flash
-        m = m_p[:n0]
-        s = s_p[:n0]
-        acc = acc_p[:n0]
+        m, s, acc = flash
     else:
         ms, ss, accs = [], [], []
         for head in range(h):
@@ -186,24 +160,84 @@ def bsda_gat_aggregate(
             m_h, s_h, acc_h = jax.lax.optimization_barrier(
                 (m_h, s_h, acc_h)
             )
-            ms.append(m_h.reshape(-1)[:n0])
-            ss.append(s_h.reshape(-1)[:n0])
-            accs.append(acc_h.reshape(-1, ch)[:n0])
-        m = jnp.stack(ms, axis=1)      # [N, H]
+            ms.append(m_h.reshape(-1))
+            ss.append(s_h.reshape(-1))
+            accs.append(acc_h.reshape(-1, ch))
+        m = jnp.stack(ms, axis=1)      # [N_pad, H]
         s = jnp.stack(ss, axis=1)
-        acc = jnp.stack(accs, axis=1)  # [N, H, Ch]
+        acc = jnp.stack(accs, axis=1)  # [N_pad, H, Ch]
 
     if g.residual is not None:
         m2c, s2c, acc2c = _spill_part(g, xp, asrc, adst, negative_slope)
         rows = g.residual_rows
-        m2 = jnp.full((n0, h), NEG_INF).at[rows].set(m2c)
-        s2 = jnp.zeros((n0, h)).at[rows].set(s2c)
-        acc2 = jnp.zeros((n0, h, ch)).at[rows].set(acc2c)
+        m2 = jnp.full((n_pad, h), NEG_INF).at[rows].set(m2c)
+        s2 = jnp.zeros((n_pad, h)).at[rows].set(s2c)
+        acc2 = jnp.zeros((n_pad, h, ch)).at[rows].set(acc2c)
         # streaming-softmax merge of the two partials
         big = jnp.maximum(m, m2)
         w1 = jnp.exp(m - big)
         w2 = jnp.exp(m2 - big)
+        m = big
         s = s * w1 + s2 * w2
         acc = acc * w1[..., None] + acc2 * w2[..., None]
 
-    return acc / jnp.maximum(s, 1e-16)[..., None]  # [N, H, Ch]
+    y = acc / jnp.maximum(s, 1e-16)[..., None]
+    return y, m, s
+
+
+def bsda_gat_aggregate(
+    g: BsdaGraph,
+    x_proj: jnp.ndarray,
+    alpha_src: jnp.ndarray,
+    alpha_dst: jnp.ndarray,
+    negative_slope: float = 0.2,
+    use_flash: bool = False,
+    fused_vjp: bool = False,
+) -> jnp.ndarray:
+    """Per-destination softmax-weighted neighbor sum, all heads.
+
+    x_proj [N, H, Ch], alpha_src/alpha_dst [N, H] -> [N, H, Ch].
+    `g` must be built from the self-looped edge set with unit weights
+    (build_bsda_for_kind(..., 'gat')): `a` then holds edge multiplicities.
+
+    use_flash: run the forward through the Pallas flash kernel (TPU
+    inference/eval path). fused_vjp: attach the manual backward
+    (gat_bwd.py) via jax.custom_vjp — the training path on TPU; the
+    forward may then also use the flash kernel since autodiff never
+    differentiates through it.
+    """
+    n0, h, ch = x_proj.shape
+    n_pad = g.num_chunks * g.chunk - n0
+
+    def pad(v, fill=0.0):
+        if n_pad == 0:
+            return v
+        shape = (n_pad,) + v.shape[1:]
+        return jnp.concatenate([v, jnp.full(shape, fill, v.dtype)], axis=0)
+
+    xp = pad(x_proj)            # [N_pad, H, Ch]
+    asrc = pad(alpha_src, NEG_INF)  # [N_pad, H]
+    adst = pad(alpha_dst, NEG_INF)
+
+    if fused_vjp:
+        from .gat_bwd import attend_bwd
+
+        @jax.custom_vjp
+        def attend(xp, asrc, adst):
+            y, _, _ = _attend_impl(g, xp, asrc, adst, negative_slope,
+                                   use_flash)
+            return y
+
+        def attend_fwd(xp, asrc, adst):
+            y, m, s = _attend_impl(g, xp, asrc, adst, negative_slope,
+                                   use_flash)
+            return y, (xp, asrc, adst, m, s, y)
+
+        def attend_rev(res, gbar):
+            return attend_bwd(g, negative_slope, res, gbar)
+
+        attend.defvjp(attend_fwd, attend_rev)
+        return attend(xp, asrc, adst)[:n0]
+
+    y, _, _ = _attend_impl(g, xp, asrc, adst, negative_slope, use_flash)
+    return y[:n0]

@@ -178,3 +178,154 @@ def packed_gat_forward(layer_params, x, g, negative_slope: float = 0.2):
         # layer's projection rows anyway
         h_in = jax.nn.elu(val)
     return None  # unreachable
+
+
+# ---------------- training path (custom-VJP flash attend) ----------------
+
+def _attend_packed_trainable(g, payload, h, ch, negative_slope):
+    """flash kernel forward + banded Pallas backward sweeps, attached via
+    jax.custom_vjp (the kernel itself is not differentiable). Returns the
+    packed [ acc | m | s ] output; the m lanes must be stop_gradient'ed by
+    the caller (the backward treats the softmax shift as a constant — the
+    flash-attention LSE convention, exact because acc/s is shift-
+    invariant)."""
+    from .pallas_gat_bwd import flash_gat_backward, g2_pack_width
+
+    pack1 = pack_width(h, ch)
+    pack2 = g2_pack_width(h, ch)
+    hc = h * ch
+    # constant lane-shuffle selectors building the grad payload
+    # G2 = [ A_bar | S_bar | a_dst | m ] from (cotangent, payload, out)
+    s_gbar = np.zeros((pack1, pack2), np.float32)
+    for lane in range(hc):
+        s_gbar[lane, lane] = 1.0          # A_bar
+    for i in range(h):
+        s_gbar[hc + h + i, hc + i] = 1.0  # S_bar (s-lane cotangent)
+    s_pay = np.zeros((pack1, pack2), np.float32)
+    for i in range(h):
+        s_pay[hc + h + i, hc + h + i] = 1.0   # a_dst
+    s_out = np.zeros((pack1, pack2), np.float32)
+    for i in range(h):
+        s_out[hc + i, hc + 2 * h + i] = 1.0   # m
+
+    @jax.custom_vjp
+    def attend(payload):
+        return flash_gat_payload(g, payload, h, ch, negative_slope)
+
+    def attend_fwd(payload):
+        out = flash_gat_payload(g, payload, h, ch, negative_slope)
+        return out, (payload, out)
+
+    def attend_bwd(res, gbar):
+        payload, out = res
+        g2 = (
+            gbar @ jnp.asarray(s_gbar)
+            + payload @ jnp.asarray(s_pay)
+            + out @ jnp.asarray(s_out)
+        )
+        ct = flash_gat_backward(g, payload, g2, h, ch, negative_slope)
+        return (ct,)
+
+    attend.defvjp(attend_fwd, attend_bwd)
+    return attend(payload)
+
+
+def packed_gat_train_forward(layer_params, x, g, rngs=None,
+                             dropout: float = 0.0,
+                             negative_slope: float = 0.2):
+    """Differentiable packed GAT forward for TRAINING.
+
+    Identical math and packing to packed_gat_forward, but every op outside
+    the flash kernel is plain autodiff-able jnp (spill merge,
+    normalization, bias, ELU, dropout), and the kernel itself carries the
+    banded Pallas backward sweeps via custom_vjp. Returns logits
+    [N, num_classes] or None when unsupported (caller falls back to the
+    autodiff XLA path)."""
+    from .pallas_gat_bwd import g2_pack_width
+
+    if not isinstance(g, BsdaGraph) or g.transpose is None:
+        return None
+    shapes = [p["w"].shape for p in layer_params]
+    if any(not flash_eligible(g, s[1], s[2]) for s in shapes):
+        return None
+    if any(g2_pack_width(s[1], s[2]) > 512 for s in shapes):
+        return None
+    gT = g.transpose
+    if gT.num_chunks != g.num_chunks or gT.chunk != g.chunk:
+        return None
+    from .pallas_gat import GROUP, RING
+    gt_chunks = max(GROUP, int(gT.max_chunk_dist))
+    if gt_chunks > 64 or \
+            (gT.num_chunks + (-gT.num_chunks) % gt_chunks) // gt_chunks <= RING:
+        return None
+    if shapes[-1][1] != 1:
+        return None
+
+    n0 = x.shape[0]
+    n_pad = g.num_chunks * g.chunk
+    if n0 > n_pad:
+        return None
+    h_in = x.astype(jnp.float32)
+    if n0 < n_pad:
+        h_in = jnp.concatenate(
+            [h_in, jnp.zeros((n_pad - n0, x.shape[1]), jnp.float32)], axis=0
+        )
+
+    print("[GAT] packed custom-VJP training pipeline engaged "
+          f"({len(layer_params)} layers)")  # trace-time marker
+    n_layers = len(layer_params)
+    for li, p in enumerate(layer_params):
+        w = p["w"].astype(jnp.float32)
+        f_in, h, ch = w.shape
+        hc = h * ch
+        pack = pack_width(h, ch)
+        a_s_col = jnp.einsum("fhc,hc->fh", w, p["a_src"].astype(jnp.float32))
+        a_d_col = jnp.einsum("fhc,hc->fh", w, p["a_dst"].astype(jnp.float32))
+        proj = jnp.concatenate(
+            [w.reshape(f_in, hc), a_s_col, a_d_col,
+             jnp.zeros((f_in, pack - hc - 2 * h), jnp.float32)],
+            axis=1,
+        )
+        if h_in.shape[1] > f_in:
+            proj = jnp.concatenate(
+                [proj, jnp.zeros((h_in.shape[1] - f_in, pack), jnp.float32)],
+                axis=0,
+            )
+        elif h_in.shape[1] < f_in:
+            return None
+        payload = h_in @ proj
+
+        out = _attend_packed_trainable(g, payload, h, ch, negative_slope)
+        if out is None:
+            return None
+        # stop-gradient the m (and pad) lanes: the custom backward treats
+        # the softmax shift as a constant; downstream must not
+        # differentiate through it (exact — see module docstring)
+        keep = np.zeros(pack, np.float32)
+        keep[:hc] = 1.0
+        keep[hc + h: hc + 2 * h] = 1.0  # s lanes
+        keep_v = jnp.asarray(keep)
+        out = out * keep_v + jax.lax.stop_gradient(out) * (1.0 - keep_v)
+        out = _spill_merge_packed(g, payload, out, h, ch, negative_slope)
+
+        S = np.zeros((pack, pack), np.float32)
+        for hh in range(h):
+            S[hc + h + hh, hh * ch: (hh + 1) * ch] = 1.0
+        inv_mask = np.ones(pack, np.float32)
+        inv_mask[:hc] = 0.0
+        denom = jax.lax.dot(out, jnp.asarray(S)) + jnp.asarray(inv_mask)
+        val = out / jnp.maximum(denom, 1e-16)
+
+        if li == n_layers - 1:
+            ncls = p["b"].shape[0]
+            return (val[:, :ncls] + p["b"])[:n0]
+        val = val + jnp.concatenate(
+            [p["b"].astype(jnp.float32),
+             jnp.zeros((pack - hc,), jnp.float32)]
+        )
+        h_in = jax.nn.elu(val)
+        if rngs is not None and rngs[li] is not None and dropout > 0.0:
+            keep_p = 1.0 - dropout
+            mask = jax.random.bernoulli(rngs[li], keep_p, h_in.shape)
+            h_in = jnp.where(mask, h_in / keep_p, 0.0)
+    return None  # unreachable

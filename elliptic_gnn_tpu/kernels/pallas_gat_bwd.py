@@ -1,0 +1,399 @@
+"""Banded Pallas backward sweeps for packed GAT attention.
+
+The custom-VJP boundary is the dense flash kernel (pallas_gat.py):
+  fwd:  payload [N, pack] = [ xp | a_src | a_dst | 0 ]
+        -> out [N, pack] = [ acc | m | s | 0 ],
+        acc_i = sum_j mu_ij e_ij x_j,  s_i = sum_j mu_ij e_ij,
+        e_ij = exp(lrelu(a_src_j + a_dst_i) - m_i)
+  bwd:  given cotangents (A_bar = d acc, S_bar = d s) and treating the
+        softmax shift m as a constant (its lanes are stop_gradient'ed by
+        the caller — the standard flash-attention LSE convention; the
+        downstream quotient acc/s is shift-invariant, so the total
+        gradient is exact):
+            d xp_j    = sum_i mu e_ij A_bar_i            (source-oriented)
+            dt_ij     = mu e_ij lrelu'(t) (x_j . A_bar_i + S_bar_i)
+            d a_src_j = sum_i dt_ij                       (source-oriented)
+            d a_dst_i = sum_j dt_ij                       (dest-oriented)
+
+Two banded sweeps, both reusing the fwd kernel's machinery (ring-buffered
+HBM->VMEM streaming of the gathered payload, rank-1 separable exp, MXU
+dots, everything 128-lane packed):
+
+  sweep_dst  — over destination chunks with the FORWARD tables (g.a),
+               own rows = the grad payload G2 [ A_bar | S_bar | a_dst | m ],
+               ring = the fwd payload; emits d a_dst.
+  sweep_src  — over source chunks with the TRANSPOSE tables (g.transpose),
+               own rows = the fwd payload, ring = G2; emits [ d xp | d a_src ].
+
+The residual spill stays on the autodiff XLA path (packed_gat.py gathers
+only the few spill rows), so no manual spill backward exists here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsda import BsdaGraph
+from .pallas_gat import GROUP, NEG_INF, RING, pack_width
+
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def g2_pack_width(h: int, ch: int) -> int:
+    """Grad-payload lanes: [ A_bar (h*ch) | S_bar (h) | a_dst (h) | m (h) ]."""
+    return ((h * ch + 3 * h + LANE - 1) // LANE) * LANE
+
+
+def _ring_plumbing(x_hbm, ring, sem, g_chunks, nb):
+    """The fwd kernel's 2-step-lookahead ring copy schedule."""
+    bi = pl.program_id(0)
+
+    def block_copy(gb):
+        slot = jax.lax.rem(gb, RING)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
+            ring.at[pl.ds(slot * g_chunks, g_chunks)],
+            sem,
+        )
+
+    @pl.when(bi == 0)
+    def _():
+        cp = block_copy(0)
+        cp.start()
+        cp.wait()
+        cp1 = block_copy(1)
+        cp1.start()
+        cp1.wait()
+        block_copy(2).start()
+
+    @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
+    def _():
+        block_copy(bi + 1).wait()
+
+    @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
+    def _():
+        block_copy(bi + 2).start()
+
+    def chunk_payload(src):
+        gb = src // g_chunks
+        return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+
+    return chunk_payload
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "pack2",
+                     "slope"),
+)
+def _sweep_dst_call(src_chunk, mult, own2, pay1, *, c, g_chunks, d, h, ch,
+                    pack1, pack2, slope):
+    """Dest-oriented sweep: own = G2 blocks, ring = fwd payload.
+    Emits [b_pad, c, pack1] rows [ 0 (hc) | 0 (h) | d a_dst (h) | 0 ]."""
+    b_pad = mult.shape[0]
+    nb = b_pad // g_chunks
+    hc = h * ch
+
+    def kernel(src_ref, a_ref, own_ref, pay_hbm, out_ref, ring, sem):
+        bi = pl.program_id(0)
+        base = bi * g_chunks
+        chunk_payload = _ring_plumbing(pay_hbm, ring, sem, g_chunks, nb)
+
+        for g_i in range(g_chunks):
+            own = own_ref[g_i]                       # [C, pack2]
+            bufs, mults, bsrcT, maxsrc = [], [], [], []
+            for d_i in range(d):
+                src = src_ref[base + g_i, d_i]
+                buf = chunk_payload(src)             # [C, pack1]
+                bufs.append(buf)
+                mults.append(a_ref[g_i, d_i].astype(jnp.float32))
+                bs = jnp.transpose(buf[:, hc: hc + h])  # [H, Cj]
+                bsrcT.append(bs)
+                maxsrc.append(jnp.max(bs, axis=1, keepdims=True))  # [H,1]
+                # [xp | 1] per head is assembled lazily below
+            ones_col = jnp.ones((c, 1), jnp.float32)
+            dalpha = []
+            for hh in range(h):
+                abar_h = own[:, hh * ch: (hh + 1) * ch]          # [Ci, ch]
+                sbar_h = own[:, hc + hh: hc + hh + 1]            # [Ci, 1]
+                alpha_h = own[:, hc + h + hh: hc + h + hh + 1]
+                m_h = own[:, hc + 2 * h + hh: hc + 2 * h + hh + 1]
+                h_acc = jnp.zeros((c, ch + 1), jnp.float32)
+                for d_i in range(d):
+                    mb = maxsrc[d_i][hh, 0]
+                    cand = alpha_h + mb
+                    pa = jnp.exp(cand - m_h)                     # [Ci, 1]
+                    na = jnp.exp(slope * cand - m_h)
+                    brow = bsrcT[d_i][hh: hh + 1, :]             # [1, Cj]
+                    pb = jnp.exp(brow - mb)
+                    nb_ = jnp.exp(slope * (brow - mb))
+                    t = brow + alpha_h                           # [Ci, Cj]
+                    e_sig = jnp.where(
+                        t >= 0, pa * pb, slope * (na * nb_)
+                    ) * mults[d_i]
+                    # rowdot trick: da_dst_i = sum_j e_sig (x_j.A_bar_i +
+                    # S_bar_i) = A_bar_i . (e_sig @ x)_i + S_bar_i (e_sig
+                    # @ 1)_i — one K=128 MXU pass, no [C,C] q matrix
+                    rhs = jnp.concatenate(
+                        [bufs[d_i][:, hh * ch: (hh + 1) * ch], ones_col],
+                        axis=1,
+                    )                                            # [Cj, ch+1]
+                    h_acc = h_acc + jax.lax.dot(
+                        e_sig, rhs, preferred_element_type=jnp.float32
+                    )
+                da = jnp.sum(abar_h * h_acc[:, :ch], axis=1, keepdims=True)
+                dalpha.append(da + sbar_h * h_acc[:, ch: ch + 1])
+            out_ref[g_i] = jnp.concatenate(
+                [jnp.zeros((c, hc + h), jnp.float32)]
+                + dalpha
+                + [jnp.zeros((c, pack1 - hc - 2 * h), jnp.float32)],
+                axis=1,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((g_chunks, d, c, c), lambda bi, src: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_chunks, c, pack2), lambda bi, src: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((g_chunks, c, pack1),
+                               lambda bi, src: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RING * g_chunks, c, pack1), pay1.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, pack1), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * d * h * c * c * ch,
+            bytes_accessed=int(np.prod(mult.shape)) * mult.dtype.itemsize
+            + b_pad * c * (pack1 + pack2) * 4,
+            transcendentals=b_pad * d * h * 4 * c,
+        ),
+        interpret=_interpret(),
+    )(src_chunk, mult, own2, pay1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "pack2",
+                     "slope"),
+)
+def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
+                    pack1, pack2, slope):
+    """Source-oriented sweep over the TRANSPOSE tables: own = fwd payload,
+    ring = G2. Emits [b_pad, c, pack1] rows [ d xp | d a_src | 0 | 0 ]."""
+    b_pad = mult.shape[0]
+    nb = b_pad // g_chunks
+    hc = h * ch
+
+    lhs_rows = ((ch + 1 + 7) // 8) * 8  # skinny-M lhs padded to sublanes
+
+    def kernel(src_ref, a_ref, own_ref, pay_hbm, out_ref, ring, sem):
+        bi = pl.program_id(0)
+        base = bi * g_chunks
+        chunk_payload = _ring_plumbing(pay_hbm, ring, sem, g_chunks, nb)
+
+        for g_i in range(g_chunks):
+            own = own_ref[g_i]                       # [C, pack1] fwd payload
+            beta = own[:, hc: hc + h]                # [Cj, H]
+            mbs = jnp.max(beta, axis=0, keepdims=True)   # [1, H] own-row max
+            bufs, mults = [], []
+            for d_i in range(d):
+                src = src_ref[base + g_i, d_i]
+                bufs.append(chunk_payload(src))      # [C, pack2] G2
+                mults.append(a_ref[g_i, d_i].astype(jnp.float32))
+            dx_out, dbeta_out = [], []
+            for hh in range(h):
+                # transposed working set: [feature, node] layouts keep the
+                # skinny dimension on sublanes so every MXU pass streams
+                # only ch/ch+1 rows instead of padding N to 128 lanes
+                xp_t = jnp.transpose(own[:, hh * ch: (hh + 1) * ch])
+                beta_row = jnp.transpose(beta[:, hh: hh + 1])    # [1, Cj]
+                mb = mbs[0, hh]
+                pb_r = jnp.exp(beta_row - mb)                    # [1, Cj]
+                nb_r = jnp.exp(slope * (beta_row - mb))
+                dxp_t = jnp.zeros((ch, c), jnp.float32)
+                dbeta_row = jnp.zeros((1, c), jnp.float32)
+                for d_i in range(d):
+                    buf = bufs[d_i]
+                    abar = buf[:, hh * ch: (hh + 1) * ch]   # [Ci, ch]
+                    sbar = buf[:, hc + hh: hc + hh + 1]     # [Ci, 1]
+                    alpha = buf[:, hc + h + hh: hc + h + hh + 1]
+                    m_i = buf[:, hc + 2 * h + hh: hc + 2 * h + hh + 1]
+                    cand = alpha + mb                        # [Ci, 1]
+                    pa_c = jnp.exp(cand - m_i)
+                    na_c = jnp.exp(slope * cand - m_i)
+                    t = alpha + beta_row                     # [Ci, Cj]
+                    pos = t >= 0
+                    e = jnp.where(pos, pa_c * pb_r, na_c * nb_r) \
+                        * mults[d_i]                         # [Ci, Cj]
+                    e_sig = jnp.where(pos, e, slope * e)
+                    # lhs [ abar | S_bar | 0pad ]^T: ch+1 live rows, padded
+                    # to a sublane multiple — two skinny-M passes replace
+                    # the old q-matrix + ones-column dots
+                    lhs = jnp.transpose(jnp.concatenate(
+                        [abar, sbar,
+                         jnp.zeros((c, lhs_rows - ch - 1), jnp.float32)],
+                        axis=1,
+                    ))                                       # [lhs_rows, Ci]
+                    dxp_t = dxp_t + jax.lax.dot(
+                        lhs[:ch], e, preferred_element_type=jnp.float32
+                    )
+                    z = jax.lax.dot(
+                        lhs, e_sig, preferred_element_type=jnp.float32
+                    )                                        # [lhs_rows, Cj]
+                    # d a_src_j = x_j . (e_sig^T A_bar)_j + (e_sig^T S)_j
+                    dbeta_row = dbeta_row + jnp.sum(
+                        xp_t * z[:ch], axis=0, keepdims=True
+                    ) + z[ch: ch + 1]
+                dx_out.append(jnp.transpose(dxp_t))          # [Cj, ch]
+                dbeta_out.append(jnp.transpose(dbeta_row))   # [Cj, 1]
+            out_ref[g_i] = jnp.concatenate(
+                dx_out + dbeta_out
+                + [jnp.zeros((c, pack1 - hc - h), jnp.float32)],
+                axis=1,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((g_chunks, d, c, c), lambda bi, src: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_chunks, c, pack1), lambda bi, src: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((g_chunks, c, pack1),
+                               lambda bi, src: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RING * g_chunks, c, pack2), pay2.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, pack1), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b_pad * d * h * c * c * ch,
+            bytes_accessed=int(np.prod(mult.shape)) * mult.dtype.itemsize
+            + b_pad * c * (pack1 + pack2) * 4,
+            transcendentals=b_pad * d * h * 6 * c,
+        ),
+        interpret=_interpret(),
+    )(src_chunk, mult, own1, pay2)
+
+
+def _grid_pad(g: BsdaGraph, g_chunks: int, payload, fill_rows, ring):
+    """Pad tables, own-blocks AND the ring-side stream to a multiple of
+    g_chunks. The ring DMA copies whole G-blocks: without padding, the
+    last block's dynamic-slice start clamps and the copied rows shift by
+    pad_b — silently corrupting every read from the final G-block (the
+    fwd kernel pads its payload for the same reason)."""
+    b = g.num_chunks
+    d = g.depth
+    pad_b = (-b) % g_chunks
+    mult = g.a
+    src_chunk = g.src_chunk
+    if pad_b:
+        mult = jnp.concatenate(
+            [mult, jnp.zeros((pad_b,) + mult.shape[1:], mult.dtype)], axis=0
+        )
+        src_chunk = jnp.concatenate(
+            [src_chunk, jnp.full((pad_b, d), b - 1, src_chunk.dtype)],
+            axis=0,
+        )
+        payload = jnp.concatenate(
+            [payload,
+             jnp.broadcast_to(fill_rows, (pad_b,) + payload.shape[1:])],
+            axis=0,
+        )
+        ring = jnp.concatenate(
+            [ring, jnp.zeros((pad_b,) + ring.shape[1:], ring.dtype)],
+            axis=0,
+        )
+    return src_chunk, mult, payload, ring, b + pad_b
+
+
+def flash_gat_backward(g: BsdaGraph, payload, g2, h: int, ch: int,
+                       negative_slope: float):
+    """Dense-block VJP of the flash forward.
+
+    payload [N_pad, pack1] fwd payload; g2 [N_pad, pack2] grad payload
+    [ A_bar | S_bar | a_dst | m ]. Returns the payload cotangent
+    [N_pad, pack1] rows [ d xp | d a_src | d a_dst | 0 ], or None when
+    the shapes don't fit (caller falls back to autodiff-able XLA).
+    """
+    gT = g.transpose
+    if gT is None:
+        return None
+    c = g.chunk
+    b = g.num_chunks
+    pack1 = pack_width(h, ch)
+    pack2 = g2_pack_width(h, ch)
+    hc = h * ch
+    g_chunks = max(GROUP, int(g.max_chunk_dist))
+    gt_chunks = max(GROUP, int(gT.max_chunk_dist))
+    if payload.shape != (b * c, pack1) or g2.shape != (b * c, pack2):
+        return None
+    if pack2 > 512 or max(g_chunks, gt_chunks) > 64 or b < 2:
+        return None
+    if (b + (-b) % g_chunks) // g_chunks <= RING or \
+            (gT.num_chunks + (-gT.num_chunks) % gt_chunks) // gt_chunks <= RING:
+        return None
+    if gT.num_chunks != b or gT.chunk != c:
+        return None
+    slope = float(negative_slope)
+
+    pay3 = payload.astype(jnp.float32).reshape(b, c, pack1)
+    g23 = g2.astype(jnp.float32).reshape(b, c, pack2)
+
+    # dest sweep: own = G2 (pad: zeros with a_dst lanes at NEG_INF so the
+    # rank-1 exponents vanish), ring = fwd payload
+    fill2 = np.zeros(pack2, np.float32)
+    fill2[hc + h: hc + 2 * h] = NEG_INF
+    src_c, mult, own2, ring1, _ = _grid_pad(
+        g, g_chunks, g23, jnp.asarray(fill2), pay3,
+    )
+    d_adst = _sweep_dst_call(
+        src_c, mult, own2, ring1,
+        c=c, g_chunks=g_chunks, d=g.depth, h=h, ch=ch, pack1=pack1,
+        pack2=pack2, slope=slope,
+    ).reshape(-1, pack1)[: b * c]
+
+    # source sweep over the transpose tables: own = fwd payload (pad:
+    # NEG_INF rows, as the fwd kernel), ring = G2
+    src_t, mult_t, own1, ring2, _ = _grid_pad(
+        gT, gt_chunks, pay3, jnp.full((pack1,), NEG_INF, jnp.float32), g23,
+    )
+    d_src = _sweep_src_call(
+        src_t, mult_t, own1, ring2,
+        c=c, g_chunks=gt_chunks, d=gT.depth, h=h, ch=ch, pack1=pack1,
+        pack2=pack2, slope=slope,
+    ).reshape(-1, pack1)[: b * c]
+
+    return d_adst + d_src

@@ -31,6 +31,7 @@ oracles):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -206,8 +207,10 @@ def gat_layer_apply(p, x, g: EllGraph, concat: bool, training: bool = True):
     xp = jnp.einsum("nf,fhc->nhc", x, p["w"])
     a_src = jnp.einsum("nhc,hc->nh", xp, p["a_src"])
     a_dst = jnp.einsum("nhc,hc->nh", xp, p["a_dst"])
-    # inference/eval runs the forward-only flash attention kernel;
-    # training needs autodiff through the softmax and keeps the XLA path
+    # inference/eval on TPU runs the forward-only flash attention kernel;
+    # training here uses autodiff through the XLA path (the packed
+    # custom-VJP training pipeline lives in kernels/packed_gat.py and is
+    # dispatched at the model level)
     out = gat_aggregate(g, xp, a_src, a_dst,
                         use_flash=not training and _flash_ok())
     if concat:
@@ -321,6 +324,12 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
     if arch == "gat":
         heads = int(cfg.get("heads", 4))
         d_head = hidden // heads
+        # opt-in: custom-VJP training pipeline (flash forward + banded
+        # Pallas backward sweeps). Measured ~par with the XLA autodiff
+        # path at Elliptic scale (docs/PERF_NOTES.md "GAT training
+        # backward"), so autodiff stays the default.
+        fused_train = bool(cfg.get("gat_fused_vjp", False)) or \
+            os.environ.get("EGNN_GAT_FUSED", "") == "1"
 
         def init(key):
             keys = jax.random.split(key, layers)
@@ -332,20 +341,30 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
 
         def apply(params, state, x, g, t_idx=None, *, training=False, rng=None,
                   axis_name=None, row_mask=None):
-            if not training and _flash_ok():
-                # inference/eval: the fully-packed forward keeps every
-                # intermediate at 128-lane tiling (kernels/packed_gat.py);
-                # None -> shape/graph unsupported, use the generic path
-                from ..kernels.packed_gat import packed_gat_forward
-
-                out = packed_gat_forward(params["layers"], x, g)
-                if out is not None:
-                    return out, state
-            h = x
             n_layers = len(params["layers"])
             rngs = (
                 jax.random.split(rng, n_layers) if rng is not None else [None] * n_layers
             )
+            if _flash_ok():
+                # fully-packed pipeline: every intermediate stays at
+                # 128-lane tiling (kernels/packed_gat.py). Eval uses the
+                # forward-only variant; training the (opt-in) custom-VJP
+                # variant (flash forward + banded Pallas backward sweeps).
+                # None -> shape/graph unsupported, use the generic path.
+                out = None
+                if training and fused_train:
+                    from ..kernels.packed_gat import packed_gat_train_forward
+
+                    out = packed_gat_train_forward(
+                        params["layers"], x, g, rngs=rngs, dropout=dropout
+                    )
+                elif not training:
+                    from ..kernels.packed_gat import packed_gat_forward
+
+                    out = packed_gat_forward(params["layers"], x, g)
+                if out is not None:
+                    return out, state
+            h = x
             for li, p in enumerate(params["layers"][:-1]):
                 h = gat_layer_apply(p, h, g, concat=True, training=training)
                 h = jax.nn.elu(h)

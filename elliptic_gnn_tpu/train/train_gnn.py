@@ -156,13 +156,20 @@ def build_train_state(cfg: dict, data, seed: int):
             a_dtype = "int8"
         else:
             a_dtype = "bfloat16" if cfg.get("amp", False) else "float32"
+        # the explicit-collective path differentiates through shard_map
+        # AD (ppermute transposes itself); no A^T encoding needed. GAT
+        # builds the block-transpose only when the opt-in fused VJP is on
+        # (kernels/pallas_gat_bwd.py; docs/PERF_NOTES.md)
+        want_transpose = agg != "shard_map" and (
+            kind != "gat"
+            or bool(cfg.get("gat_fused_vjp", False))
+            or os.environ.get("EGNN_GAT_FUSED", "") == "1"
+        )
         gops = build_bsda_for_kind(
             data.edge_index, data.num_nodes, kind,
             depth=int(cfg.get("bsda_depth", 3)),
             a_dtype=a_dtype,
-            # the explicit-collective path differentiates through shard_map
-            # AD (ppermute transposes itself); no A^T encoding needed
-            transpose=(agg != "shard_map"),
+            transpose=want_transpose,
         )
         if agg == "bsda_pallas":
             import dataclasses

@@ -37,7 +37,7 @@ def main():
     rank = bfs_order(data.edge_index, data.num_nodes, data.timestep)
     rdata = data.renumber(rank)
     g = build_bsda_for_kind(rdata.edge_index, rdata.num_nodes, "gat",
-                            depth=3, a_dtype="float32", transpose=False)
+                            depth=3, a_dtype="float32", transpose=True)
 
     model = build_model("gat", 166, {"hidden_dim": 32, "layers": 2,
                                      "heads": 4, "dropout": 0.0})
