@@ -135,8 +135,10 @@ def main():
         "metric": "shard_map_scaling",
         "platform": jax.devices()[0].platform,
         "note": ("virtual CPU mesh: validates correctness + comm scaling; "
-                 "absolute times are not TPU times. N>=2 real-chip / "
-                 "multi-host columns blocked on hardware availability."),
+                 "absolute times are not TPU times. N>=2 real-chip numbers "
+                 "blocked on hardware availability; the multi-host "
+                 "(multi-process DCN-analogue) path is exercised for real "
+                 "by tests/test_multihost.py over gloo collectives."),
         "graph_nodes": data0.num_nodes,
         "graph_edges": e,
         "loss_spread": spread,
