@@ -296,3 +296,59 @@ def test_predict_cli(env):
     stored_idx = np.load(os.path.join(env["runA"], "node_idx_test.npy"))
     got_idx = np.array([int(r["node_idx"]) for r in rows])
     np.testing.assert_array_equal(np.sort(got_idx), np.sort(stored_idx))
+
+
+def test_treeshap_matches_bruteforce_shapley():
+    """Exactness against first principles: on a small-feature model,
+    enumerate every feature subset, evaluate the tree-conditional
+    expectation game v(S) (follow x on features in S, coverage-weighted
+    average otherwise), and compare the Shapley formula directly with
+    hist_gb_shap_values. This is sufficient (not just additivity)."""
+    import math
+
+    import numpy as np
+    from sklearn.ensemble import HistGradientBoostingClassifier
+    from elliptic_gnn_tpu.analysis.treeshap import hist_gb_shap_values
+
+    rng = np.random.default_rng(4)
+    n_feat = 5
+    x = rng.standard_normal((300, n_feat))
+    y = ((x[:, 0] - 0.8 * x[:, 2] + 0.4 * x[:, 4]
+          + 0.3 * rng.standard_normal(300)) > 0).astype(int)
+    model = HistGradientBoostingClassifier(max_iter=5, max_depth=3).fit(x, y)
+
+    def cond_exp(nodes, xv, in_s):
+        def rec(j):
+            nd = nodes[j]
+            if nd["is_leaf"]:
+                return float(nd["value"])
+            f = int(nd["feature_idx"])
+            left, right = int(nd["left"]), int(nd["right"])
+            if in_s[f]:
+                return rec(left if xv[f] <= nd["num_threshold"] else right)
+            cl = float(nodes[left]["count"])
+            cr = float(nodes[right]["count"])
+            return (cl * rec(left) + cr * rec(right)) / (cl + cr)
+        return rec(0)
+
+    def v(xv, subset):
+        in_s = [f in subset for f in range(n_feat)]
+        total = float(np.ravel(model._baseline_prediction)[0])
+        for row in model._predictors:
+            total += cond_exp(row[0].nodes, xv, in_s)
+        return total
+
+    xs = x[:4]
+    phi, ev = hist_gb_shap_values(model, xs)
+    fact = math.factorial
+    for i in range(xs.shape[0]):
+        for k in range(n_feat):
+            others = [f for f in range(n_feat) if f != k]
+            val = 0.0
+            for mask in range(1 << len(others)):
+                s = frozenset(
+                    others[b] for b in range(len(others)) if mask >> b & 1
+                )
+                w = fact(len(s)) * fact(n_feat - len(s) - 1) / fact(n_feat)
+                val += w * (v(xs[i], s | {k}) - v(xs[i], s))
+            np.testing.assert_allclose(phi[i, k], val, rtol=1e-9, atol=1e-10)
