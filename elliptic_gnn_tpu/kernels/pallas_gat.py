@@ -18,9 +18,10 @@ Output packing per node: [ acc (H*Ch) | m (H) | s (H) | pad ] — the
 merge combines with the residual spill, so the result is bitwise the
 global segment softmax.
 
-Forward-only: training uses the autodiff-able XLA path (bsda_gat.py);
-inference and the per-epoch val evaluation dispatch here
-(models/modules.py gat_layer_apply(training=...)).
+The kernel itself is forward-only. Inference and the per-epoch val
+evaluation dispatch here (models/modules.py); training uses the
+autodiff-able XLA path (bsda_gat.py) by default, or the opt-in fused
+custom-VJP pipeline whose backward sweeps live in pallas_gat_bwd.py.
 
 Replaces GATConv's fused CUDA attention kernels (reference
 src/models/gnn.py:56-76 via PyG) at the eval path.
