@@ -199,28 +199,34 @@ def main() -> None:
     log(f"[bench] ELL SpMM: {dt_ell*1e3:.3f} ms ({e/dt_ell/1e9:.3f} Ge/s)")
 
     # ---- GAT 2-layer forward (packed flash pipeline; VERDICT r1 target
-    # <= 8 ms at Elliptic scale) ----
-    from elliptic_gnn_tpu.models.modules import build_model
+    # <= 8 ms at Elliptic scale). Best-effort: a failure here must not
+    # lose the headline SpMM metric. ----
+    dt_gat = None
+    try:
+        from elliptic_gnn_tpu.models.modules import build_model
 
-    g_gat = B.build_bsda_for_kind(
-        data.edge_index, data.num_nodes, "gat", depth=3,
-        a_dtype="float32", transpose=False,
-    )
-    gat_model = build_model(
-        "gat", N_FEATURES,
-        {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0},
-    )
-    gat_params, _ = gat_model.init(jax.random.PRNGKey(0))
+        g_gat = B.build_bsda_for_kind(
+            data.edge_index, data.num_nodes, "gat", depth=3,
+            a_dtype="float32", transpose=False,
+        )
+        gat_model = build_model(
+            "gat", N_FEATURES,
+            {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0},
+        )
+        gat_params, _ = gat_model.init(jax.random.PRNGKey(0))
 
-    def gat_fwd(c, params, gg):
-        out, _ = gat_model.apply(params, {}, c, gg, training=False)
-        return c + jnp.pad(out, ((0, 0), (0, c.shape[1] - out.shape[1]))) * 1e-6
+        def gat_fwd(c, params, gg):
+            out, _ = gat_model.apply(params, {}, c, gg, training=False)
+            return c + jnp.pad(
+                out, ((0, 0), (0, c.shape[1] - out.shape[1]))) * 1e-6
 
-    x_gat = jnp.asarray(data.x)
-    dt_gat, _ = differential_time(
-        gat_fwd, x_gat, gat_params, g_gat, n_small=2, n_big=10, repeats=2
-    )
-    log(f"[bench] GAT 2-layer forward (packed flash): {dt_gat*1e3:.3f} ms")
+        x_gat = jnp.asarray(data.x)
+        dt_gat, _ = differential_time(
+            gat_fwd, x_gat, gat_params, g_gat, n_small=2, n_big=10, repeats=2
+        )
+        log(f"[bench] GAT 2-layer forward (packed flash): {dt_gat*1e3:.3f} ms")
+    except Exception as exc:  # pragma: no cover - hardware-dependent
+        log(f"[bench] GAT stage failed (continuing): {exc}")
 
     # ---- end-to-end training epochs (timed inside the loop) ----
     from elliptic_gnn_tpu.train.train_gnn import (
@@ -234,17 +240,21 @@ def main() -> None:
         "time_embed_type": "sin", "max_timestep": N_TIMESTEPS,
         "patience": 10_000, "amp": True, "max_epochs": 36,
     }
-    data_t, model, gops, params, state, tx, opt_state, loss_fn = (
-        build_train_state(cfg, data, 42)
-    )
-    tl = _TimingLogger()
-    _, _, best_val, _ = _train_loop_fullbatch(
-        cfg, "/tmp", data_t, model, gops, params, state, tx, opt_state,
-        loss_fn, tl,
-    )
-    epoch_s = tl.epoch_seconds()
-    log(f"[bench] train epoch (SAGE-ResBN 64x3, full-batch, incl. host AP "
-        f"sync): {epoch_s*1e3:.1f} ms (best_val={best_val:.4f})")
+    epoch_s = float("nan")
+    try:
+        data_t, model, gops, params, state, tx, opt_state, loss_fn = (
+            build_train_state(cfg, data, 42)
+        )
+        tl = _TimingLogger()
+        _, _, best_val, _ = _train_loop_fullbatch(
+            cfg, "/tmp", data_t, model, gops, params, state, tx, opt_state,
+            loss_fn, tl,
+        )
+        epoch_s = tl.epoch_seconds()
+        log(f"[bench] train epoch (SAGE-ResBN 64x3, full-batch, incl. host AP "
+            f"sync): {epoch_s*1e3:.1f} ms (best_val={best_val:.4f})")
+    except Exception as exc:  # pragma: no cover - hardware-dependent
+        log(f"[bench] epoch stage failed (continuing): {exc}")
 
     result = {
         "metric": "spmm_edges_per_s_per_chip",
@@ -262,7 +272,7 @@ def main() -> None:
             "hbm_gbps_spec": bw_spec,
             "hbm_gbps_measured_stream": bw_stream,
             "ell_spmm_ms": dt_ell * 1e3,
-            "gat_forward_ms": dt_gat * 1e3,
+            "gat_forward_ms": None if dt_gat is None else dt_gat * 1e3,
             "train_epoch_ms": epoch_s * 1e3,
             "device": dev.device_kind,
             "num_edges": int(e),
