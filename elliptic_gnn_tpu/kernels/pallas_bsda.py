@@ -53,6 +53,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _out_shape(shape, x) -> jax.ShapeDtypeStruct:
+    """Out aval for pallas_call. Under shard_map with check_vma=True the
+    output must declare which mesh axes it varies over — inherit x's vma
+    (the kernel is elementwise in the sharded chunk axis)."""
+    vma = getattr(jax.typeof(x), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, x.dtype)
+
+
 def _mxu_dtype(a_dtype, x_dtype):
     # MXU runs bf16 natively (~6x the f32 rate): dot in bf16 with f32
     # accumulation whenever either operand is already bf16 (a bf16 A-table
@@ -159,7 +169,7 @@ def _banded_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, ft,
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, c, f), x3.dtype),
+        out_shape=_out_shape((b_pad, c, f), x3),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -264,7 +274,7 @@ def _ring_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, has_ds, has_ss):
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b_pad, c, f), x3.dtype),
+        out_shape=_out_shape((b_pad, c, f), x3),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -48,9 +48,11 @@ from .mesh import NODE_AXIS
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_local", "res_nbr", "res_w", "res_rows",
-                 "dst_scale", "src_scale_ext"],
+                 "dst_scale", "src_scale_ext", "a_ext", "src_ext",
+                 "a_t", "src_t", "ds_kern", "ss_kern"],
     meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
-                 "halo_chunks", "n_dev"],
+                 "halo_chunks", "n_dev", "use_pallas", "b_ext_pad",
+                 "depth_t", "a_dtype_name"],
 )
 @dataclasses.dataclass
 class ShardedBsda:
@@ -71,6 +73,23 @@ class ShardedBsda:
     src_scale_ext: [n_dev, N_ext] f32 or None — factored column scales over
                 the halo-extended rows (precomputed host-side: scales are
                 static, so the halo needs no exchange for them)
+
+    Pallas-kernel tables (use_pallas; None on the einsum path). The banded
+    Pallas kernel (kernels/pallas_bsda.py) runs unmodified per shard on
+    "ext-shaped" views: destination chunks span the halo-extended range
+    [B_ext = B_loc + 2H, padded to the kernel group size b_ext_pad], halo
+    destination chunks carry zero A-blocks, and every source id is already
+    ext-local — which makes the encoding banded in ext coordinates with
+    max_chunk_dist = H. The backward runs the SAME kernel on the exact
+    block-transpose (a_t/src_t): for ext chunk j, a_t[j,s] = a[l,d]^T for
+    every (l,d) with src_local[l,d] == j, src_t[j,s] = l + H.
+
+    a_ext:   [n_dev, b_ext_pad, D, C, C]
+    src_ext: [n_dev, b_ext_pad, D]
+    a_t:     [n_dev, b_ext_pad, DT, C, C]
+    src_t:   [n_dev, b_ext_pad, DT]
+    ds_kern: [n_dev, b_ext_pad*C] dst scales embedded at ext offset (or None)
+    ss_kern: [n_dev, b_ext_pad*C] src scales over ext rows, padded (or None)
     """
 
     a: jnp.ndarray
@@ -86,10 +105,21 @@ class ShardedBsda:
     axis_name: str
     halo_chunks: int
     n_dev: int
+    a_ext: Optional[jnp.ndarray] = None
+    src_ext: Optional[jnp.ndarray] = None
+    a_t: Optional[jnp.ndarray] = None
+    src_t: Optional[jnp.ndarray] = None
+    ds_kern: Optional[jnp.ndarray] = None
+    ss_kern: Optional[jnp.ndarray] = None
+    use_pallas: bool = False
+    b_ext_pad: int = 0
+    depth_t: int = 0
+    a_dtype_name: str = "float32"
 
 
 def partition_bsda(g: BsdaGraph, n_dev: int,
-                   axis_name: str = NODE_AXIS) -> ShardedBsda:
+                   axis_name: str = NODE_AXIS,
+                   use_pallas: Optional[bool] = None) -> ShardedBsda:
     """Split a BsdaGraph into n_dev contiguous destination-chunk ranges
     with boundary-only halos.
 
@@ -97,6 +127,10 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
     banded ordering: every source chunk and residual source within
     max_chunk_dist <= B_loc of its destination's range. Raises ValueError
     for non-banded graphs (use the GSPMD path there).
+
+    use_pallas: route the per-shard dense aggregation through the banded
+    Pallas kernel (ext-shaped tables + exact block-transpose backward).
+    None = auto (on when running on TPU).
     """
     b = g.num_chunks
     if b % n_dev:
@@ -192,6 +226,77 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
             out[d, src_lo - lo: src_hi - lo] = s[src_lo:src_hi]
         return jnp.asarray(out)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    a_ext = src_ext = a_t = src_t = ds_kern = ss_kern = None
+    b_ext_pad = 0
+    depth_t = 0
+    if use_pallas:
+        # ext-shaped tables: reuse the single-device banded kernel verbatim
+        # per shard. GROUP matches the kernel's group-size rule
+        # (pallas_bsda._forward: g_chunks = max(GROUP, max_chunk_dist)).
+        from ..kernels.pallas_bsda import GROUP
+
+        grp = max(GROUP, h)
+        b_ext = b_loc + 2 * h
+        b_ext_pad = -(-b_ext // grp) * grp
+        d = g.depth
+        a_ext_np = np.zeros((n_dev, b_ext_pad, d, c, c), a.dtype)
+        a_ext_np[:, h: h + b_loc] = a
+        # halo/pad destination chunks: zero blocks, self-pointing sources
+        # (distance 0 — keeps the encoding banded)
+        src_ext_np = np.tile(
+            np.arange(b_ext_pad, dtype=np.int32)[None, :, None],
+            (n_dev, 1, d),
+        )
+        src_ext_np[:, h: h + b_loc] = src_local.astype(np.int32)
+
+        # exact block-transpose per device: ext chunk j receives
+        # a[l, di]^T from every (l, di) with src_local[l, di] == j
+        nonzero = a.any(axis=(3, 4))  # [n_dev, b_loc, D]
+        refs = [[[] for _ in range(b_ext_pad)] for _ in range(n_dev)]
+        for dev in range(n_dev):
+            ls, dis = np.nonzero(nonzero[dev])
+            for l_i, d_i in zip(ls, dis):
+                refs[dev][int(src_local[dev, l_i, d_i])].append((l_i, d_i))
+        depth_t = max(
+            1, max(len(r) for dev_r in refs for r in dev_r)
+        )
+        a_t_np = np.zeros((n_dev, b_ext_pad, depth_t, c, c), a.dtype)
+        src_t_np = np.tile(
+            np.arange(b_ext_pad, dtype=np.int32)[None, :, None],
+            (n_dev, 1, depth_t),
+        )
+        for dev in range(n_dev):
+            for j, r in enumerate(refs[dev]):
+                for slot, (l_i, d_i) in enumerate(r):
+                    a_t_np[dev, j, slot] = a[dev, l_i, d_i].T
+                    src_t_np[dev, j, slot] = l_i + h
+
+        def embed_scale(s, at_ext_offset: bool):
+            """[n_dev, b_ext_pad*c] scale table for the kernel view:
+            local scales at ext offset h*c (at_ext_offset) or the existing
+            ext-range scales zero-padded to the group grid."""
+            if s is None:
+                return None
+            s = np.asarray(s)
+            out = np.zeros((n_dev, b_ext_pad * c), np.float32)
+            if at_ext_offset:
+                out[:, h * c: h * c + b_loc * c] = s
+            else:
+                out[:, : s.shape[1]] = s
+            return jnp.asarray(out)
+
+        a_ext = jnp.asarray(a_ext_np)
+        src_ext = jnp.asarray(src_ext_np)
+        a_t = jnp.asarray(a_t_np)
+        src_t = jnp.asarray(src_t_np)
+        ds_local = split_scale(g.dst_scale, ext=False)
+        ss_ext = split_scale(g.src_scale, ext=True)
+        ds_kern = embed_scale(ds_local, at_ext_offset=True)
+        ss_kern = embed_scale(ss_ext, at_ext_offset=False)
+
     return ShardedBsda(
         a=jnp.asarray(a),
         src_local=jnp.asarray(src_local.astype(np.int32)),
@@ -206,11 +311,25 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         axis_name=axis_name,
         halo_chunks=h,
         n_dev=n_dev,
+        a_ext=a_ext,
+        src_ext=src_ext,
+        a_t=a_t,
+        src_t=src_t,
+        ds_kern=ds_kern,
+        ss_kern=ss_kern,
+        use_pallas=bool(use_pallas),
+        b_ext_pad=b_ext_pad,
+        depth_t=depth_t,
+        a_dtype_name=g.a_dtype_name,
     )
 
 
 def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
     """PartitionSpec pytree matching ShardedBsda for shard_map in_specs."""
+
+    def opt(field, spec):
+        return None if field is None else spec
+
     return dataclasses.replace(
         sg,
         a=P(NODE_AXIS, None, None, None, None),
@@ -218,10 +337,14 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         res_nbr=P(NODE_AXIS, None, None),
         res_w=P(NODE_AXIS, None, None),
         res_rows=P(NODE_AXIS, None),
-        dst_scale=None if sg.dst_scale is None else P(NODE_AXIS, None),
-        src_scale_ext=(
-            None if sg.src_scale_ext is None else P(NODE_AXIS, None)
-        ),
+        dst_scale=opt(sg.dst_scale, P(NODE_AXIS, None)),
+        src_scale_ext=opt(sg.src_scale_ext, P(NODE_AXIS, None)),
+        a_ext=opt(sg.a_ext, P(NODE_AXIS, None, None, None, None)),
+        src_ext=opt(sg.src_ext, P(NODE_AXIS, None, None)),
+        a_t=opt(sg.a_t, P(NODE_AXIS, None, None, None, None)),
+        src_t=opt(sg.src_t, P(NODE_AXIS, None, None)),
+        ds_kern=opt(sg.ds_kern, P(NODE_AXIS, None)),
+        ss_kern=opt(sg.ss_kern, P(NODE_AXIS, None)),
     )
 
 
@@ -233,18 +356,13 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
 
     The shard_map caller passes the per-device slice of the stacked tables
     (leading axis length 1)."""
-    a = sg.a[0]
-    src = sg.src_local[0]
-    h, c = sg.halo_chunks, sg.chunk
-    hc = h * c
+    hc = sg.halo_chunks * sg.chunk
     axis = sg.axis_name
     n_dev = sg.n_dev
     out_dtype = x_local.dtype
     xc = (
         x_local.astype(compute_dtype) if compute_dtype is not None else x_local
     )
-    f = xc.shape[-1]
-    b_loc = a.shape[0]
 
     # ---- boundary-only halo exchange (2*H*C rows per direction) ----
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
@@ -255,8 +373,108 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
     # chunk index ever points there — src ids are window-validated at
     # partition time)
 
-    x3_loc = xc.reshape(b_loc, c, f)
     x_ext = jnp.concatenate([halo_l, xc, halo_r], axis=0)
+
+    if sg.use_pallas:
+        out = _pallas_local_spmm(sg, x_ext)
+    else:
+        out = _einsum_local_spmm(sg, xc, x_ext)
+
+    # local residual: sources from the halo-extended rows (true weights)
+    res_nbr, res_w, res_rows = sg.res_nbr[0], sg.res_w[0], sg.res_rows[0]
+    g_res = x_ext[res_nbr]  # [R, W, F]
+    spill = jnp.einsum(
+        "rw,rwf->rf", res_w.astype(g_res.dtype), g_res,
+        preferred_element_type=jnp.float32,
+    )
+    out = out.at[res_rows].add(spill.astype(out.dtype), mode="drop")
+    return out.astype(out_dtype)
+
+
+def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
+    """Per-shard dense aggregation through the banded Pallas kernel on the
+    ext-shaped tables, with an exact custom-VJP backward on the
+    block-transpose tables (autodiff cannot see inside pallas_call; the
+    transposed encoding is also ~2x faster than the chunk scatter-add
+    autodiff would emit — same design as kernels/pallas_bsda.pallas_bsda_spmm
+    single-device)."""
+    from ..kernels.bsda import BsdaGraph, _bsda_spmm_impl
+    from ..kernels.pallas_bsda import _forward as _pallas_forward
+
+    if jax.default_backend() == "tpu":
+        _forward = _pallas_forward
+    else:
+        # interpret-mode pallas cannot run under shard_map check_vma (the
+        # HLO interpreter's internal buffers carry no vma); off-TPU the
+        # same ext/transpose tables run through the XLA einsum impl — the
+        # identical math, so CPU tests still verify this path's tables and
+        # custom VJP
+        def _forward(g, xe):
+            return _bsda_spmm_impl(g, xe, None)
+
+    c, h = sg.chunk, sg.halo_chunks
+    b_loc = sg.a.shape[1]
+    b_ext_pad = sg.b_ext_pad
+    n_ext = x_ext.shape[0]  # (b_loc + 2h) * c
+    pad_rows = b_ext_pad * c - n_ext
+
+    def view(a_tab, src_tab, depth, ds, ss):
+        return BsdaGraph(
+            a=a_tab, src_chunk=src_tab, residual=None, residual_rows=None,
+            num_nodes=b_ext_pad * c, num_chunks=b_ext_pad, depth=depth,
+            n_pad=0, a_dtype_name=sg.a_dtype_name, chunk=c,
+            use_pallas_kernel=True, max_chunk_dist=h,
+            dst_scale=ds, src_scale=ss,
+        )
+
+    g_fwd = view(sg.a_ext[0], sg.src_ext[0], sg.depth,
+                 None if sg.ds_kern is None else sg.ds_kern[0],
+                 None if sg.ss_kern is None else sg.ss_kern[0])
+    # backward: ct_ext = ss .* (A^T @ (ds .* ct)) — roles of the factored
+    # scales swap (the kernel view's dst scale becomes ss over ext rows)
+    g_bwd = view(sg.a_t[0], sg.src_t[0], sg.depth_t,
+                 None if sg.ss_kern is None else sg.ss_kern[0],
+                 None if sg.ds_kern is None else sg.ds_kern[0])
+
+    @jax.custom_vjp
+    def dense(xe):
+        return _run(xe)
+
+    def _run(xe):
+        if pad_rows:
+            xe = jnp.concatenate(
+                [xe, jnp.zeros((pad_rows, xe.shape[1]), xe.dtype)], axis=0
+            )
+        out_ext = _forward(g_fwd, xe)
+        return jax.lax.slice_in_dim(out_ext, h * c, h * c + b_loc * c)
+
+    def dense_fwd(xe):
+        return _run(xe), None
+
+    def dense_bwd(_res, ct):
+        f = ct.shape[1]
+        ctp = jnp.concatenate([
+            jnp.zeros((h * c, f), ct.dtype),
+            ct,
+            jnp.zeros((b_ext_pad * c - (h * c + b_loc * c), f), ct.dtype),
+        ], axis=0)
+        ct_ext = _forward(g_bwd, ctp)
+        return (jax.lax.slice_in_dim(ct_ext, 0, n_ext),)
+
+    dense.defvjp(dense_fwd, dense_bwd)
+    return dense(x_ext)
+
+
+def _einsum_local_spmm(sg: ShardedBsda, xc: jnp.ndarray,
+                       x_ext: jnp.ndarray) -> jnp.ndarray:
+    """XLA einsum per-shard aggregation (autodiff handles the backward)."""
+    a = sg.a[0]
+    src = sg.src_local[0]
+    h, c = sg.halo_chunks, sg.chunk
+    f = xc.shape[-1]
+    b_loc = a.shape[0]
+
+    x3_loc = xc.reshape(b_loc, c, f)
     x3_ext = x_ext.reshape(b_loc + 2 * h, c, f)
 
     if sg.src_scale_ext is not None:
@@ -283,16 +501,7 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
     out = out.reshape(-1, f)
     if sg.dst_scale is not None:
         out = out * sg.dst_scale[0][:, None]
-
-    # local residual: sources from the halo-extended rows (true weights)
-    res_nbr, res_w, res_rows = sg.res_nbr[0], sg.res_w[0], sg.res_rows[0]
-    g_res = x_ext[res_nbr]  # [R, W, F]
-    spill = jnp.einsum(
-        "rw,rwf->rf", res_w.astype(g_res.dtype), g_res,
-        preferred_element_type=jnp.float32,
-    )
-    out = out.at[res_rows].add(spill, mode="drop")
-    return out.astype(out_dtype)
+    return out
 
 
 def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,

@@ -120,17 +120,25 @@ def test_dryrun_multichip_smoke():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_bsda_step_matches_single_device():
-    """BSDA aggregation under GSPMD row sharding == single-device result."""
+@pytest.mark.parametrize("arch", ["sage_resbn", "gcn", "gat"])
+def test_sharded_bsda_step_matches_single_device(arch):
+    """BSDA aggregation under GSPMD row sharding == single-device result,
+    for every architecture family (the reference trains GCN/GAT wherever
+    SAGE runs, /root/reference/src/models/gnn.py:25,56-76 — the mesh must
+    too; GAT exercises the dense-chunk attention path under GSPMD)."""
     from elliptic_gnn_tpu.train.train_gnn import build_train_state
 
-    cfg = dict(CFG, aggregation="bsda")
+    cfg = dict(CFG, aggregation="bsda", arch=arch)
+    if arch == "gat":
+        cfg.update(heads=4, hidden_dim=16, layers=2,
+                   time_embed_dim=0, time_embed_type="none")
+    elif arch == "gcn":
+        cfg.update(time_embed_dim=0, time_embed_type="none")
     data0 = synthetic.generate(num_nodes=600, num_timesteps=12, seed=1)
     from elliptic_gnn_tpu.graph import make_temporal_masks
 
     data0 = make_temporal_masks(data0, t_train_end=8, t_val_end=10)
     data0 = symmetrize_edges(data0)
-    data, model, gops, params, state, tx, loss_fn = None, None, None, None, None, None, None
     data, model, gops, params, state, tx, opt_state, loss_fn = build_train_state(
         cfg, data0, 0
     )
@@ -139,13 +147,15 @@ def test_sharded_bsda_step_matches_single_device():
     y1 = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
     ts1 = jnp.asarray(data.timestep.astype(np.int32))
     tm1 = jnp.asarray(data.train_mask.astype(np.float32))
-    step1 = _step_fn(model, tx, loss_fn, x1, y1, ts1, tm1, gops)
+    t1 = ts1 if model.uses_time_embed else None
+    step1 = _step_fn(model, tx, loss_fn, x1, y1, t1, tm1, gops)
     p1, s1, loss1 = step1(params, state, opt_state)
 
     mesh = make_mesh(8)
     x8, y8, ts8, tm8, rm8, gops8, _ = shard_graph_inputs(mesh, data, gops)
     rep = replicated(mesh)
-    step8 = _step_fn(model, tx, loss_fn, x8, y8, ts8, tm8, gops8, rm8)
+    t8 = ts8 if model.uses_time_embed else None
+    step8 = _step_fn(model, tx, loss_fn, x8, y8, t8, tm8, gops8, rm8)
     p8, s8, loss8 = step8(
         jax.device_put(params, rep), jax.device_put(state, rep),
         jax.device_put(tx.init(params), rep),
@@ -155,6 +165,15 @@ def test_sharded_bsda_step_matches_single_device():
         # Adam amplifies float reduction-order noise for near-zero-variance
         # params; bound by a fraction of one optimizer step (lr=1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=3e-4)
+
+
+def test_shardmap_rejects_gat():
+    """arch: gat + aggregation: shard_map must be a clear config error, not
+    an uncaught dispatch crash (GAT shards via GSPMD)."""
+    from elliptic_gnn_tpu.train.train_gnn import _pick_aggregation
+
+    with pytest.raises(ValueError, match="GSPMD"):
+        _pick_aggregation({"aggregation": "shard_map"}, None, "gat")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

@@ -34,7 +34,8 @@ CFG = {
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_shardmap_step_matches_single_device():
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_shardmap_step_matches_single_device(use_pallas):
     n_dev = 8
     data0 = synthetic.generate(num_nodes=2000, num_timesteps=12, seed=3)
     data0 = make_temporal_masks(data0, t_train_end=8, t_val_end=10)
@@ -82,7 +83,7 @@ def test_shardmap_step_matches_single_device():
 
     # ---- shard_map step ----
     mesh = make_mesh(n_dev)
-    sg = partition_bsda(gops_plain, n_dev)
+    sg = partition_bsda(gops_plain, n_dev, use_pallas=use_pallas)
     step = make_shardmap_train_step(mesh, model, tx, (cw,), sg)
 
     row = NamedSharding(mesh, P(NODE_AXIS))
@@ -112,8 +113,14 @@ def test_shardmap_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_partition_bsda_preserves_aggregation():
-    """sharded_bsda_spmm under shard_map == bsda_spmm single device."""
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_partition_bsda_preserves_aggregation(use_pallas):
+    """sharded_bsda_spmm under shard_map == bsda_spmm single device, for
+    both the einsum path and the banded-kernel path (ext-shaped tables +
+    exact block-transpose custom VJP; off-TPU the tables run through the
+    XLA impl — same math). Gradients are checked against the single-device
+    autodiff with a relative tolerance (hub-row grads reach O(100), where
+    f32 reassociation noise is ~1e-6 relative)."""
     from elliptic_gnn_tpu.kernels import bsda as B
     from elliptic_gnn_tpu.parallel.shardmap_step import sharded_bsda_spmm
     from jax import shard_map
@@ -138,7 +145,7 @@ def test_partition_bsda_preserves_aggregation():
     ref = np.asarray(B.bsda_spmm(g, xj[: data0.num_nodes]))
 
     mesh = make_mesh(n_dev)
-    sg = partition_bsda(g, n_dev)
+    sg = partition_bsda(g, n_dev, use_pallas=use_pallas)
     from elliptic_gnn_tpu.parallel.shardmap_step import sharded_specs
 
     sg_specs = sharded_specs(sg)
@@ -151,9 +158,17 @@ def test_partition_bsda_preserves_aggregation():
     def agg(x_loc, sg_loc):
         return sharded_bsda_spmm(sg_loc, x_loc)
 
-    out = np.asarray(agg(jax.device_put(
-        xj, NamedSharding(mesh, P(NODE_AXIS, None))
-    ), sg))
+    x_sharded = jax.device_put(xj, NamedSharding(mesh, P(NODE_AXIS, None)))
+    out = np.asarray(agg(x_sharded, sg))
     np.testing.assert_allclose(
         out[: data0.num_nodes], ref, rtol=1e-4, atol=1e-5
     )
+
+    # gradient parity (exercises the custom-VJP block-transpose tables on
+    # the pallas path; plain shard_map AD on the einsum path)
+    w = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    g_sm = np.asarray(jax.grad(lambda xx: (agg(xx, sg) * w).sum())(x_sharded))
+    g_ref = np.asarray(jax.grad(
+        lambda xx: (B.bsda_spmm(g, xx) * w).sum()
+    )(xj))
+    np.testing.assert_allclose(g_sm, g_ref, rtol=1e-4, atol=1e-5)
