@@ -58,12 +58,22 @@ def run_xgb(run_dir: str, processed_dir: str, n_samples: int = 200,
 
     # tree models get exact SHAP values (the reference runs
     # shap.TreeExplainer, explain.py:236-244 — here via the from-scratch
-    # exact TreeSHAP in analysis/treeshap.py); non-tree models (the LR
-    # pipeline) fall back to model-agnostic permutation importance
+    # exact TreeSHAP in analysis/treeshap.py, with adapters for BOTH
+    # gradient-boosting engines: XGBoost booster dumps and sklearn
+    # HistGB node arrays); non-tree models (the LR pipeline) fall back
+    # to model-agnostic permutation importance
     from sklearn.ensemble import HistGradientBoostingClassifier
 
     extra = {}
-    if isinstance(model, HistGradientBoostingClassifier):
+    if type(model).__name__ == "XGBClassifier":
+        from .treeshap import xgb_shap_values
+
+        phi, expected = xgb_shap_values(model, x_te[sel])
+        imp = np.abs(phi).mean(axis=0)
+        method = "tree_shap_exact_xgboost"
+        extra = {"expected_value": float(expected), "space": "log_odds"}
+        xlabel = "mean |SHAP value| (log-odds)"
+    elif isinstance(model, HistGradientBoostingClassifier):
         from .treeshap import hist_gb_shap_values
 
         phi, expected = hist_gb_shap_values(model, x_te[sel])

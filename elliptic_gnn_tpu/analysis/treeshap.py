@@ -1,25 +1,56 @@
-"""Exact TreeSHAP for sklearn HistGradientBoosting models.
+"""Exact TreeSHAP for sklearn HistGradientBoosting and XGBoost models.
 
 The reference's explain tool runs shap.TreeExplainer over its XGBoost
 baseline (/root/reference/src/analysis/explain.py:236-244). Neither the
-`shap` package nor `xgboost` exist in this environment, so this module
+`shap` package nor (in this image) `xgboost` exist, so this module
 implements the exact TreeSHAP algorithm (Lundberg et al. 2018, "Consistent
 Individualized Feature Attribution for Tree Ensembles", Algorithm 2) from
-scratch over the trees of the sklearn HistGradientBoostingClassifier that
-train_baselines.py uses as its gradient-boosting engine.
+scratch, over a neutral internal tree encoding with adapters for BOTH
+gradient-boosting engines train_baselines.py can produce:
+
+  - sklearn HistGradientBoostingClassifier (`hist_gb_shap_values`): walks
+    `model._predictors` node arrays directly;
+  - XGBoost (`xgb_shap_values` / `xgb_json_shap_values`): walks the
+    booster's `get_dump(dump_format="json", with_stats=True)` trees —
+    the same trees shap.TreeExplainer consumes — using XGBoost split
+    semantics (strict `x < threshold`, explicit missing branch, hessian
+    `cover` as node weights) and `logit(base_score)` as the margin-space
+    base value. `xgb_json_shap_values` takes the dump strings themselves,
+    so the algorithm is fully testable without xgboost installed.
 
 Properties (verified in tests/test_analysis.py):
   - local accuracy / additivity: sum(phi) + expected_value equals the
     model's raw decision value for every sample, to float precision;
-  - exact conditional-expectation semantics per tree (not a sampling or
-    permutation approximation).
+  - exact conditional-expectation semantics per tree (proven against
+    brute-force subset-enumeration Shapley for both adapters).
 
-Attributions are in raw log-odds space, matching shap.TreeExplainer's
-default for binary classifiers.
+Attributions are in raw log-odds (margin) space, matching
+shap.TreeExplainer's default for binary classifiers.
 """
 from __future__ import annotations
 
+import json
+import math
+from typing import List, Sequence
+
 import numpy as np
+
+# Engine-neutral node encoding. `strict` selects the split comparison:
+# False -> x <= threshold goes left (sklearn HistGB); True -> x < threshold
+# goes left (XGBoost). `left` is always the hot branch for a satisfied
+# condition ("yes" child in XGBoost dumps); `missing_left` routes NaNs.
+_NODE_DT = np.dtype([
+    ("left", np.int64),
+    ("right", np.int64),
+    ("feature_idx", np.int64),
+    ("threshold", np.float64),
+    ("missing_left", np.bool_),
+    ("is_leaf", np.bool_),
+    ("value", np.float64),
+    ("count", np.float64),
+    ("depth", np.int64),
+    ("strict", np.bool_),
+])
 
 
 class _Path:
@@ -95,7 +126,8 @@ def _unwound_sum(m: _Path, i: int) -> float:
 
 
 def _tree_shap(nodes: np.ndarray, x: np.ndarray, phi: np.ndarray) -> None:
-    """Accumulate exact SHAP values of one HistGB tree for sample x."""
+    """Accumulate exact SHAP values of one tree (internal encoding) for
+    sample x."""
     max_depth = int(nodes["depth"].max()) + 2
 
     def recurse(j: int, m: _Path, pz: float, po: float, pi: int) -> None:
@@ -111,9 +143,11 @@ def _tree_shap(nodes: np.ndarray, x: np.ndarray, phi: np.ndarray) -> None:
         f = int(nd["feature_idx"])
         xv = x[f]
         if np.isnan(xv):
-            goes_left = bool(nd["missing_go_to_left"])
+            goes_left = bool(nd["missing_left"])
+        elif nd["strict"]:
+            goes_left = xv < nd["threshold"]
         else:
-            goes_left = xv <= nd["num_threshold"]
+            goes_left = xv <= nd["threshold"]
         hot, cold = (
             (int(nd["left"]), int(nd["right"]))
             if goes_left
@@ -135,6 +169,48 @@ def _tree_shap(nodes: np.ndarray, x: np.ndarray, phi: np.ndarray) -> None:
     recurse(0, _Path(max_depth + 2), 1.0, 1.0, -1)
 
 
+def _leaf_mean(nodes: np.ndarray) -> float:
+    """Coverage-weighted mean leaf value = the tree's unconditional
+    expectation under the count/cover measure."""
+    leaf = nodes["is_leaf"]
+    return float(
+        (nodes["value"][leaf] * nodes["count"][leaf]).sum()
+        / nodes["count"][0]
+    )
+
+
+def _shap_ensemble(trees: Sequence[np.ndarray], X: np.ndarray,
+                   base: float):
+    X = np.asarray(X, np.float64)
+    n, f = X.shape
+    phi = np.zeros((n, f), np.float64)
+    expected = float(base)
+    for nodes in trees:
+        expected += _leaf_mean(nodes)
+        for i in range(n):
+            _tree_shap(nodes, X[i], phi[i])
+    return phi, expected
+
+
+# ----------------------------------------------------- HistGB adapter ----
+
+def _histgb_to_nodes(nodes) -> np.ndarray:
+    """sklearn HistGB predictor node array -> internal encoding
+    (split: x <= num_threshold goes left; count = sample count)."""
+    out = np.zeros(len(nodes), _NODE_DT)
+    out["left"] = nodes["left"]
+    out["right"] = nodes["right"]
+    out["feature_idx"] = nodes["feature_idx"]
+    out["threshold"] = nodes["num_threshold"]
+    out["missing_left"] = nodes["missing_go_to_left"].astype(bool)
+    out["is_leaf"] = nodes["is_leaf"].astype(bool)
+    out["value"] = nodes["value"]
+    out["count"] = nodes["count"]
+    out["depth"] = nodes["depth"]
+    out["strict"] = False
+    return out
+
+
 def hist_gb_shap_values(model, X: np.ndarray):
     """Exact TreeSHAP values for a fitted HistGradientBoostingClassifier.
 
@@ -148,18 +224,98 @@ def hist_gb_shap_values(model, X: np.ndarray):
         raise ValueError("categorical splits unsupported")
     if len(predictors[0]) != 1:
         raise ValueError("binary classification expected (1 tree per iter)")
-    X = np.asarray(X, np.float64)
-    n, f = X.shape
-    phi = np.zeros((n, f), np.float64)
-    expected = float(np.ravel(model._baseline_prediction)[0])
-    for row in predictors:
-        nodes = row[0].nodes
-        # E[f] = baseline + each tree's coverage-weighted leaf mean
-        leaf = nodes["is_leaf"].astype(bool)
-        expected += float(
-            (nodes["value"][leaf] * nodes["count"][leaf]).sum()
-            / nodes["count"][0]
-        )
-        for i in range(n):
-            _tree_shap(nodes, X[i], phi[i])
-    return phi, expected
+    trees = [_histgb_to_nodes(row[0].nodes) for row in predictors]
+    base = float(np.ravel(model._baseline_prediction)[0])
+    return _shap_ensemble(trees, X, base)
+
+
+# ---------------------------------------------------- XGBoost adapter ----
+
+def _feat_index(split, feature_names) -> int:
+    """Resolve an XGBoost dump's `split` field ("f12" or a real feature
+    name when feature_names were attached) to a column index."""
+    if feature_names and split in feature_names:
+        return feature_names.index(split)
+    s = str(split)
+    if s.startswith("f") and s[1:].isdigit():
+        return int(s[1:])
+    raise ValueError(f"cannot resolve split feature {split!r}")
+
+
+def _xgb_json_to_nodes(tree: dict, feature_names=None) -> np.ndarray:
+    """One tree of booster.get_dump(dump_format="json", with_stats=True)
+    -> internal encoding. XGBoost semantics: x < split_condition goes to
+    the `yes` child, NaN to the `missing` child, `cover` (hessian sum;
+    children sum to parent) as node weights — identical to what
+    shap.TreeExplainer uses for XGBoost."""
+    flat: List[dict] = []
+
+    def walk(nd: dict, depth: int):
+        nd = dict(nd)
+        nd["_depth"] = depth
+        flat.append(nd)
+        for ch in nd.get("children", ()):
+            walk(ch, depth + 1)
+
+    walk(tree, 0)
+    by_id = {int(nd["nodeid"]): i for i, nd in enumerate(flat)}
+    out = np.zeros(len(flat), _NODE_DT)
+    out["strict"] = True
+    for i, nd in enumerate(flat):
+        out["depth"][i] = nd["_depth"]
+        out["count"][i] = float(nd.get("cover", 1.0))
+        if "leaf" in nd:
+            out["is_leaf"][i] = True
+            out["value"][i] = float(nd["leaf"])
+            continue
+        yes, no = by_id[int(nd["yes"])], by_id[int(nd["no"])]
+        out["left"][i] = yes
+        out["right"][i] = no
+        out["feature_idx"][i] = _feat_index(nd["split"], feature_names)
+        out["threshold"][i] = float(nd["split_condition"])
+        out["missing_left"][i] = by_id[int(nd["missing"])] == yes
+    if by_id.get(int(flat[0]["nodeid"])) != 0:
+        raise ValueError("root must be node 0")
+    return out
+
+
+def xgb_json_shap_values(dumps: Sequence[str], X: np.ndarray,
+                         base_margin: float, feature_names=None):
+    """Exact TreeSHAP from XGBoost JSON dump strings (the output of
+    `booster.get_dump(dump_format="json", with_stats=True)`).
+
+    base_margin is the margin-space bias (logit(base_score) for
+    binary:logistic). Additivity: phi.sum(1) + expected_value ==
+    predict(output_margin=True)."""
+    trees = [
+        _xgb_json_to_nodes(json.loads(d), feature_names) for d in dumps
+    ]
+    return _shap_ensemble(trees, X, base_margin)
+
+
+def xgb_base_margin(booster) -> float:
+    """Margin-space bias of a booster: logit(base_score) for logistic
+    objectives, base_score itself otherwise (XGBoost stores base_score in
+    probability space for binary:logistic)."""
+    cfg = json.loads(booster.save_config())
+    learner = cfg["learner"]
+    base = float(learner["learner_model_param"]["base_score"])
+    objective = learner.get("objective", {}).get("name", "") or \
+        learner.get("learner_train_param", {}).get("objective", "")
+    if "logistic" in objective:
+        base = min(max(base, 1e-12), 1 - 1e-12)
+        return math.log(base / (1.0 - base))
+    return base
+
+
+def xgb_shap_values(model, X: np.ndarray):
+    """Exact TreeSHAP values for a fitted XGBClassifier (binary).
+
+    Returns (phi [n, F] float64 in margin/log-odds space, expected_value
+    float). Additivity: phi.sum(1) + expected_value ==
+    model.predict(X, output_margin=True)."""
+    booster = model.get_booster()
+    dumps = booster.get_dump(dump_format="json", with_stats=True)
+    return xgb_json_shap_values(
+        dumps, X, xgb_base_margin(booster), booster.feature_names
+    )

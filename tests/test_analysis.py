@@ -352,3 +352,137 @@ def test_treeshap_matches_bruteforce_shapley():
                 w = fact(len(s)) * fact(n_feat - len(s) - 1) / fact(n_feat)
                 val += w * (v(xs[i], s | {k}) - v(xs[i], s))
             np.testing.assert_allclose(phi[i, k], val, rtol=1e-9, atol=1e-10)
+
+
+# Hand-built XGBoost JSON dumps (the exact shape of
+# booster.get_dump(dump_format="json", with_stats=True)): non-uniform
+# covers, a missing-goes-right node, and an asymmetric tree — enough to
+# catch any semantic slip (strict `<`, missing routing, cover weighting).
+_XGB_DUMPS = [
+    json.dumps({
+        "nodeid": 0, "split": "f0", "split_condition": 0.5,
+        "yes": 1, "no": 2, "missing": 2, "cover": 100.0,
+        "children": [
+            {"nodeid": 1, "split": "f1", "split_condition": -0.2,
+             "yes": 3, "no": 4, "missing": 3, "cover": 60.0,
+             "children": [
+                 {"nodeid": 3, "leaf": 0.7, "cover": 25.0},
+                 {"nodeid": 4, "leaf": -0.3, "cover": 35.0},
+             ]},
+            {"nodeid": 2, "leaf": 1.1, "cover": 40.0},
+        ],
+    }),
+    json.dumps({
+        "nodeid": 0, "split": "f2", "split_condition": 1.25,
+        "yes": 1, "no": 2, "missing": 1, "cover": 100.0,
+        "children": [
+            {"nodeid": 1, "leaf": -0.45, "cover": 80.0},
+            {"nodeid": 2, "split": "f0", "split_condition": 2.0,
+             "yes": 3, "no": 4, "missing": 4, "cover": 20.0,
+             "children": [
+                 {"nodeid": 3, "leaf": 0.9, "cover": 8.0},
+                 {"nodeid": 4, "leaf": 0.1, "cover": 12.0},
+             ]},
+        ],
+    }),
+]
+
+
+def _xgb_margin(dumps, xv):
+    """Reference margin prediction straight off the dumps (XGBoost
+    semantics: strict x < cond goes to `yes`, NaN to `missing`)."""
+    total = 0.0
+    for d in dumps:
+        nd = json.loads(d)
+        while "leaf" not in nd:
+            f = int(nd["split"][1:])
+            if np.isnan(xv[f]):
+                nxt = nd["missing"]
+            else:
+                nxt = nd["yes"] if xv[f] < nd["split_condition"] else nd["no"]
+            nd = next(c for c in nd["children"] if c["nodeid"] == nxt)
+        total += float(nd["leaf"])
+    return total
+
+
+def test_xgb_treeshap_matches_bruteforce_shapley():
+    """Exactness of the XGBoost-dump adapter against first principles —
+    same subset-enumeration game as the HistGB test but with XGBoost split
+    semantics (strict `<`, explicit missing branch, cover weights). Runs
+    without xgboost installed: the dumps are the testable boundary."""
+    import math
+
+    from elliptic_gnn_tpu.analysis.treeshap import xgb_json_shap_values
+
+    n_feat = 3
+    base = -0.15
+
+    def cond_exp(nd, xv, in_s):
+        if "leaf" in nd:
+            return float(nd["leaf"])
+        f = int(nd["split"][1:])
+        ch = {c["nodeid"]: c for c in nd["children"]}
+        if in_s[f]:
+            if np.isnan(xv[f]):
+                return cond_exp(ch[nd["missing"]], xv, in_s)
+            nxt = nd["yes"] if xv[f] < nd["split_condition"] else nd["no"]
+            return cond_exp(ch[nxt], xv, in_s)
+        l, r = ch[nd["yes"]], ch[nd["no"]]
+        cl, cr = float(l["cover"]), float(r["cover"])
+        return (cl * cond_exp(l, xv, in_s)
+                + cr * cond_exp(r, xv, in_s)) / (cl + cr)
+
+    def v(xv, subset):
+        in_s = [f in subset for f in range(n_feat)]
+        return base + sum(
+            cond_exp(json.loads(d), xv, in_s) for d in _XGB_DUMPS
+        )
+
+    # include the boundary value (x == threshold goes right under strict <)
+    # and a NaN (routed by the missing branch)
+    xs = np.array([
+        [0.5, -0.2, 1.0],
+        [-1.0, 0.3, 2.5],
+        [2.0, -1.0, np.nan],
+        [0.49, -0.21, 1.24],
+    ])
+    phi, ev = xgb_json_shap_values(_XGB_DUMPS, xs, base)
+    fact = math.factorial
+    for i in range(xs.shape[0]):
+        # additivity in margin space
+        np.testing.assert_allclose(
+            phi[i].sum() + ev, base + _xgb_margin(_XGB_DUMPS, xs[i]),
+            rtol=1e-12,
+        )
+        for k in range(n_feat):
+            others = [f for f in range(n_feat) if f != k]
+            val = 0.0
+            for mask in range(1 << len(others)):
+                s = frozenset(
+                    others[b] for b in range(len(others)) if mask >> b & 1
+                )
+                w = fact(len(s)) * fact(n_feat - len(s) - 1) / fact(n_feat)
+                val += w * (v(xs[i], s | {k}) - v(xs[i], s))
+            np.testing.assert_allclose(phi[i, k], val, rtol=1e-9, atol=1e-12)
+
+
+def test_xgb_treeshap_real_booster():
+    """With xgboost installed (the reference's actual engine,
+    /root/reference/src/analysis/explain.py:236-244): exact SHAP off the
+    real booster satisfies additivity against predict(output_margin=True)
+    for every sample."""
+    xgboost = pytest.importorskip("xgboost")
+
+    from elliptic_gnn_tpu.analysis.treeshap import xgb_shap_values
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((400, 6))
+    x[rng.random(x.shape) < 0.05] = np.nan  # exercise missing routing
+    y = (np.nan_to_num(x[:, 0]) - 0.6 * np.nan_to_num(x[:, 3]) > 0).astype(int)
+    model = xgboost.XGBClassifier(
+        n_estimators=10, max_depth=4, learning_rate=0.3, base_score=0.4,
+    ).fit(x, y)
+    xs = x[:32]
+    phi, ev = xgb_shap_values(model, xs)
+    margin = model.predict(xs, output_margin=True)
+    np.testing.assert_allclose(phi.sum(axis=1) + ev, margin, rtol=1e-5)
