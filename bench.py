@@ -168,10 +168,11 @@ def main() -> None:
     # the relay adds one-sided run-to-run noise of a few % — enough to
     # flip the marginal 70%-of-roofline verdict, so the headline number
     # takes the envelope) ----
-    dt_pallas = min(
+    pallas_draws = [
         differential_time(lambda c, gg: pallas_bsda_spmm(gg, c), x, g)[0]
         for _ in range(3)
-    )
+    ]
+    dt_pallas = min(pallas_draws)
     dt_xla, _ = differential_time(lambda c, gg: B.bsda_spmm(gg, c), x, g)
     dt_best = min(dt_pallas, dt_xla)
     path = "pallas_ring" if dt_pallas <= dt_xla else "xla_einsum"
@@ -202,6 +203,7 @@ def main() -> None:
     # <= 8 ms at Elliptic scale). Best-effort: a failure here must not
     # lose the headline SpMM metric. ----
     dt_gat = None
+    gat_error = None
     try:
         from elliptic_gnn_tpu.models.modules import build_model
 
@@ -226,6 +228,7 @@ def main() -> None:
         )
         log(f"[bench] GAT 2-layer forward (packed flash): {dt_gat*1e3:.3f} ms")
     except Exception as exc:  # pragma: no cover - hardware-dependent
+        gat_error = f"{type(exc).__name__}: {exc}"
         log(f"[bench] GAT stage failed (continuing): {exc}")
 
     # ---- end-to-end training epochs (timed inside the loop) ----
@@ -241,6 +244,7 @@ def main() -> None:
         "patience": 10_000, "amp": True, "max_epochs": 36,
     }
     epoch_s = float("nan")
+    epoch_error = None
     try:
         data_t, model, gops, params, state, tx, opt_state, loss_fn = (
             build_train_state(cfg, data, 42)
@@ -254,6 +258,7 @@ def main() -> None:
         log(f"[bench] train epoch (SAGE-ResBN 64x3, full-batch, incl. host AP "
             f"sync): {epoch_s*1e3:.1f} ms (best_val={best_val:.4f})")
     except Exception as exc:  # pragma: no cover - hardware-dependent
+        epoch_error = f"{type(exc).__name__}: {exc}"
         log(f"[bench] epoch stage failed (continuing): {exc}")
 
     result = {
@@ -264,6 +269,11 @@ def main() -> None:
         "detail": {
             "spmm_ms_raw": dt_best * 1e3,
             "spmm_ms_pallas": dt_pallas * 1e3,
+            # relay noise is one-sided: the min/median spread across the 3
+            # draws bounds how much a single bad draw could move the
+            # headline (self-describing noise, VERDICT r2 "What's weak")
+            "spmm_ms_pallas_draws": [d * 1e3 for d in pallas_draws],
+            "spmm_ms_pallas_median": float(np.median(pallas_draws)) * 1e3,
             "spmm_ms_xla": dt_xla * 1e3,
             "spmm_path": path,
             "spmm_ms_roofline_spec": roofline_dt * 1e3,
@@ -272,8 +282,16 @@ def main() -> None:
             "hbm_gbps_spec": bw_spec,
             "hbm_gbps_measured_stream": bw_stream,
             "ell_spmm_ms": dt_ell * 1e3,
-            "gat_forward_ms": None if dt_gat is None else dt_gat * 1e3,
-            "train_epoch_ms": epoch_s * 1e3,
+            # explicit failure markers: a silent None is how a perf
+            # regression hides (VERDICT r2 "What's weak")
+            "gat_forward_ms": (
+                f"failed: {gat_error}" if gat_error is not None
+                else None if dt_gat is None else dt_gat * 1e3
+            ),
+            "train_epoch_ms": (
+                f"failed: {epoch_error}" if epoch_error is not None
+                else epoch_s * 1e3
+            ),
             "device": dev.device_kind,
             "num_edges": int(e),
             "encoding": f"bsda_int8_factored_d3_{np.dtype(x_dtype).name}",
