@@ -117,7 +117,15 @@ def load_elliptic_as_graph(
     from ..native import parse_numeric_csv
 
     raw = parse_numeric_csv(f_path)
-    if raw is not None and raw.shape[1] >= 2 and np.isfinite(raw[:, 0]).all():
+    # accept the native parse only when column 0 is a plausible id column
+    # (finite integers); the strict native parser already bailed (-> None)
+    # on quoted/ragged/textual content and >15-digit ids, so anything else
+    # falls through to the full pandas reader
+    if (
+        raw is not None and raw.shape[1] >= 2
+        and np.isfinite(raw[:, 0]).all()
+        and (np.mod(raw[:, 0], 1) == 0).all()
+    ):
         feat_tx = raw[:, 0].astype(np.int64)
         second_col = raw[:, 1].astype(np.float64)
         feat_has_ts = looks_like_timestep(second_col)
@@ -181,13 +189,25 @@ def load_elliptic_as_graph(
     y[idx[found]] = cls_label[found]
 
     # ---- edges: header sniff, vectorized mapping, intra-timestep filter ----
+    # sniff the FIRST LINE textually: a header row ('txId1,txId2') has
+    # non-numeric cells; dtype-based sniffing mis-fired on headerless files
+    # (pandas promotes the first data row to column names, leaving numeric
+    # dtypes either way — the first edge silently became the header)
     try:
-        sniff = pd.read_csv(e_path, nrows=5)
-        first_dtype_numeric = np.issubdtype(np.asarray(sniff.dtypes.iloc[0]).dtype, np.number)
-        if sniff.shape[1] >= 2 and not first_dtype_numeric:
-            df_edge = pd.read_csv(e_path, header=0)
-        else:
-            df_edge = pd.read_csv(e_path, header=None)
+        with open(e_path, "r") as fh:
+            first = fh.readline()
+        cells = [c.strip().strip('"').strip("'")
+                 for c in first.replace("\r", "").split(",")]
+
+        def _numeric(s: str) -> bool:
+            try:
+                float(s)
+                return True
+            except ValueError:
+                return False
+
+        has_header = len(cells) >= 2 and not all(_numeric(c) for c in cells)
+        df_edge = pd.read_csv(e_path, header=0 if has_header else None)
     except Exception:
         df_edge = pd.read_csv(e_path, header=None)
 

@@ -63,8 +63,14 @@ int csv_dims(const char* path, int64_t* n_rows, int64_t* n_cols) {
 }
 
 // Parse a headerless numeric CSV into out[row * n_cols + col] (float64 —
-// wide enough for exact 8-digit txIds in column 0).
+// wide enough for exact txIds up to 15 digits in column 0).
 // Fast path: manual float parsing, no locale, no allocations per field.
+// STRICT: any content this parser cannot represent exactly makes it bail
+// with an error so the caller falls back to a full CSV reader (pandas)
+// instead of silently mis-parsing:
+//   -4  field count mismatch (ragged rows, embedded separators)
+//   -5  integer part wider than 15 digits (f64 would round the id)
+//   -6  non-numeric content (quotes, header text, NaN literals)
 int csv_parse_f64(const char* path, int64_t n_rows, int64_t n_cols,
                   double* out) {
   int fd = open(path, O_RDONLY);
@@ -92,16 +98,25 @@ int csv_parse_f64(const char* path, int64_t n_rows, int64_t n_cols,
     if (*p == '-') { neg = true; p++; }
     else if (*p == '+') { p++; }
     double v = 0.0;
-    while (p < end && *p >= '0' && *p <= '9') { v = v * 10 + (*p - '0'); p++; }
+    int int_digits = 0;
+    while (p < end && *p >= '0' && *p <= '9') {
+      v = v * 10 + (*p - '0');
+      int_digits++;
+      p++;
+    }
+    bool any_digits = int_digits > 0;
     if (p < end && *p == '.') {
       p++;
       double scale = 0.1;
       while (p < end && *p >= '0' && *p <= '9') {
         v += (*p - '0') * scale;
         scale *= 0.1;
+        any_digits = true;
         p++;
       }
     }
+    if (int_digits > 15) { munmap((void*)buf, len); return -5; }
+    if (!any_digits) { munmap((void*)buf, len); return -6; }
     if (p < end && (*p == 'e' || *p == 'E')) {
       p++;
       bool eneg = false;
@@ -109,6 +124,12 @@ int csv_parse_f64(const char* path, int64_t n_rows, int64_t n_cols,
       int ev = 0;
       while (p < end && *p >= '0' && *p <= '9') { ev = ev * 10 + (*p - '0'); p++; }
       v *= pow(10.0, eneg ? -ev : ev);
+    }
+    // the field must end at a separator (or EOF) — anything else means
+    // content we did not parse (quotes, text, units): bail to pandas
+    if (p < end && *p != ',' && *p != '\n' && *p != '\r' && *p != ' ') {
+      munmap((void*)buf, len);
+      return -6;
     }
     out[idx++] = neg ? -v : v;
   }
