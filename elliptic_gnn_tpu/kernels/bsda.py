@@ -43,9 +43,9 @@ CHUNK = 128
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose",
-                 "dst_scale", "src_scale"],
+                 "dst_scale", "src_scale", "a_packed"],
     meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name",
-                 "chunk", "use_pallas_kernel", "max_chunk_dist"],
+                 "chunk", "use_pallas_kernel", "max_chunk_dist", "a_pack"],
 )
 @dataclasses.dataclass
 class BsdaGraph:
@@ -88,6 +88,44 @@ class BsdaGraph:
     # wholly in VMEM. SAGE mean: dst_scale = 1/deg; GCN: both = deg^-1/2.
     dst_scale: Optional[jnp.ndarray] = None
     src_scale: Optional[jnp.ndarray] = None
+    # bit-packed A-table for the banded Pallas kernel: a_pack depth slots
+    # per byte ([B, ceil(D/a_pack), C, C] uint8; slot d lives in plane
+    # d // a_pack at bit offset (8 // a_pack) * (d % a_pack)). The int8
+    # multiplicity table is the dominant HBM stream of the aggregation
+    # (78 MB of a 182 MB pass at Elliptic scale); multiplicities are tiny
+    # ({1, 2} on symmetrized simple graphs), so crumb/nibble packing cuts
+    # that stream 4x/2x. Kernel-only: the XLA einsum path keeps `a`.
+    a_packed: Optional[jnp.ndarray] = None
+    a_pack: int = 1
+
+
+def pack_a_planes(a_np: np.ndarray, pack: int) -> np.ndarray:
+    """[B, D, C, C] small non-negative ints -> [B, ceil(D/pack), C, C]
+    uint8 bit-planes; slot d is stored in plane d // pack at bit offset
+    (8 // pack) * (d % pack). Requires every value < 2 ** (8 // pack)."""
+    b, d, c, c2 = a_np.shape
+    bits = 8 // pack
+    planes = -(-d // pack)
+    padded = np.zeros((b, planes * pack, c, c2), np.uint8)
+    padded[:, :d] = a_np.astype(np.uint8)
+    padded = padded.reshape(b, planes, pack, c, c2)
+    out = np.zeros((b, planes, c, c2), np.uint8)
+    for s in range(pack):
+        out |= padded[:, :, s] << np.uint8(bits * s)
+    return out
+
+
+def _auto_pack(a_np: np.ndarray, depth: int) -> int:
+    """Pick the densest lossless packing for an integer multiplicity
+    table: 4 slots/byte when every value < 4, 2 when < 16, else 1."""
+    if depth < 2:
+        return 1
+    mx = int(a_np.max()) if a_np.size else 0
+    if mx < 4:
+        return 4
+    if mx < 16:
+        return 2
+    return 1
 
 
 def bfs_order(edge_index: np.ndarray, num_nodes: int,
@@ -276,8 +314,20 @@ def build_bsda(
         out[:num_nodes] = np.asarray(s, np.float32)
         return jnp.asarray(out)
 
+    # bit-packed planes for the Pallas kernel (int8 multiplicity tables
+    # with tiny values only — lossless by construction)
+    a_pack = 1
+    a_packed = None
+    if a_dtype == "int8":
+        a_int = a.astype(np.int64)
+        a_pack = _auto_pack(a_int, depth)
+        if a_pack > 1:
+            a_packed = jnp.asarray(pack_a_planes(a_int, a_pack))
+
     return BsdaGraph(
         a=jnp.asarray(a.astype(np.dtype(a_dtype))),
+        a_packed=a_packed,
+        a_pack=a_pack,
         src_chunk=jnp.asarray(src_chunk.astype(np.int32)),
         residual=residual,
         residual_rows=residual_rows,
@@ -322,6 +372,13 @@ def pad_bsda_chunks(g: BsdaGraph, multiple: int) -> BsdaGraph:
     return dataclasses.replace(
         g,
         a=a,
+        a_packed=(
+            None if g.a_packed is None else jnp.concatenate(
+                [g.a_packed,
+                 jnp.zeros((pad,) + g.a_packed.shape[1:], g.a_packed.dtype)],
+                axis=0,
+            )
+        ),
         src_chunk=src,
         num_chunks=b + pad,
         n_pad=g.n_pad + pad * g.chunk,

@@ -75,9 +75,16 @@ def _mxu_dtype(a_dtype, x_dtype):
 
 
 def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
-                  base, g_chunks, d, mxu):
+                  base, g_chunks, d, mxu, pack=1):
     """Shared inner loop: G destination chunks x D slots of MXU dots with
-    factored scales applied in-VMEM."""
+    factored scales applied in-VMEM.
+
+    pack > 1: a_ref holds bit-packed planes ([G, ceil(D/pack), C, C]
+    uint8, `pack` depth slots per byte — see bsda.pack_a_planes). The
+    unpack is a shift+mask on the VPU per block, traded for a pack-x
+    smaller A-table HBM stream (the dominant stream of the aggregation)."""
+    bits = 8 // pack
+    mask = (1 << bits) - 1
     for g_i in range(g_chunks):
         acc = None
         for d_i in range(d):
@@ -85,8 +92,13 @@ def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
             rhs = read_chunk(src).astype(mxu)
             if ss_ref is not None:
                 rhs = rhs * ss_ref[src][:, None].astype(mxu)
+            if pack == 1:
+                a_blk = a_ref[g_i, d_i].astype(mxu)
+            else:
+                u = a_ref[g_i, d_i // pack].astype(jnp.int32)
+                a_blk = ((u >> (bits * (d_i % pack))) & mask).astype(mxu)
             part = jax.lax.dot(
-                a_ref[g_i, d_i].astype(mxu), rhs,
+                a_blk, rhs,
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
@@ -96,10 +108,11 @@ def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("c", "g_chunks", "d", "ft", "has_ds", "has_ss")
+    jax.jit,
+    static_argnames=("c", "g_chunks", "d", "ft", "has_ds", "has_ss", "pack"),
 )
 def _banded_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, ft,
-                 has_ds, has_ss):
+                 has_ds, has_ss, pack=1):
     """Window variant: x supplied through three shifted BlockSpecs.
     All encoding tables are jit arguments (closures would upload hundreds
     of MB per executable on remote-compile relays)."""
@@ -128,16 +141,17 @@ def _banded_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, ft,
         _slot_compute(
             src_ref, a_ref, ds_ref if has_ds else None,
             ss_ref if has_ss else None, out_ref, read_chunk,
-            base, g_chunks, d, mxu,
+            base, g_chunks, d, mxu, pack=pack,
         )
 
+    d_planes = a.shape[1]  # = ceil(d / pack)
     full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # src_chunk table
         grid=(nb, n_ft),
         in_specs=[
             pl.BlockSpec(
-                (g_chunks, d, c, c),
+                (g_chunks, d_planes, c, c),
                 lambda bi, fi, src: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -188,9 +202,11 @@ def _banded_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, ft,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("c", "g_chunks", "d", "has_ds", "has_ss")
+    jax.jit,
+    static_argnames=("c", "g_chunks", "d", "has_ds", "has_ss", "pack"),
 )
-def _ring_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, has_ds, has_ss):
+def _ring_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, has_ds,
+               has_ss, pack=1):
     """Ring variant (single feature tile): x stays in HBM and streams
     exactly once through a 4-slot VMEM ring of G-blocks, fetched two grid
     steps ahead so the copy hides behind compute. Block gb occupies ring
@@ -244,16 +260,17 @@ def _ring_call(src_chunk, a, x3, ds2, ss2, *, c, g_chunks, d, has_ds, has_ss):
         _slot_compute(
             src_ref, a_ref, ds_ref if has_ds else None,
             ss_ref if has_ss else None, out_ref, read_chunk,
-            base, g_chunks, d, mxu,
+            base, g_chunks, d, mxu, pack=pack,
         )
 
+    d_planes = a.shape[1]  # = ceil(d / pack)
     full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(
-                (g_chunks, d, c, c),
+                (g_chunks, d_planes, c, c),
                 lambda bi, src: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -319,7 +336,10 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
     # pad the chunk axis to a multiple of G (zero blocks, window-local srcs)
     pad_b = (-b) % g_chunks
-    a = g.a
+    # bit-packed A-planes when available: same kernel, pack-x smaller
+    # dominant HBM stream (unpacked by shift+mask in _slot_compute)
+    pack = g.a_pack if g.a_packed is not None else 1
+    a = g.a_packed if pack > 1 else g.a
     src_chunk = g.src_chunk
     b_pad = b + pad_b
     if pad_b:
@@ -349,12 +369,12 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
     nb = b_pad // g_chunks
     if f == ft and nb > RING:
         out = _ring_call(src_chunk, a, x3, ds2, ss2, c=c,
-                         g_chunks=g_chunks, d=d,
+                         g_chunks=g_chunks, d=d, pack=pack,
                          has_ds=g.dst_scale is not None,
                          has_ss=g.src_scale is not None)
     else:
         out = _banded_call(src_chunk, a, x3, ds2, ss2, c=c,
-                           g_chunks=g_chunks, d=d, ft=ft,
+                           g_chunks=g_chunks, d=d, ft=ft, pack=pack,
                            has_ds=g.dst_scale is not None,
                            has_ss=g.src_scale is not None)
 

@@ -44,15 +44,15 @@ from ..kernels.bsda import BsdaGraph
 from ..models.losses import cross_entropy_per_sample
 from .mesh import NODE_AXIS
 
-
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_local", "res_nbr", "res_w", "res_rows",
-                 "dst_scale", "src_scale_ext", "a_ext", "src_ext",
-                 "a_t", "src_t", "ds_kern", "ss_kern"],
+                 "res_perm", "dst_scale", "src_scale_ext", "a_ext",
+                 "src_ext", "a_t", "src_t", "ds_kern", "ss_kern",
+                 "a_ext_p", "a_t_p"],
     meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
                  "halo_chunks", "n_dev", "use_pallas", "b_ext_pad",
-                 "depth_t", "a_dtype_name"],
+                 "depth_t", "a_dtype_name", "a_pack"],
 )
 @dataclasses.dataclass
 class ShardedBsda:
@@ -63,12 +63,21 @@ class ShardedBsda:
     src_local:  [n_dev, B_loc, D]  EXT-LOCAL source-chunk ids — index into
                 the halo-extended buffer [halo_L | local | halo_R] of
                 B_loc + 2*H chunks
-    res_nbr:    [n_dev, R, W] int32 — residual neighbors as EXT-LOCAL node
-                ids; padded slots have weight 0
-    res_w:      [n_dev, R, W] f32 (true edge weights — residual edges
-                bypass the factored scales)
-    res_rows:   [n_dev, R] int32 — LOCAL destination row of each residual
-                row (padded rows point out of range; scatter mode='drop')
+    res_nbr:    tuple of [n_dev, R_k, W_k] int32 — residual neighbors as
+                EXT-LOCAL node ids, width-bucketed (pow2 widths): each
+                spill destination row lives in the narrowest bucket whose
+                width covers its source count, like the single-device
+                EllGraph residual. Padding every row to one max width
+                would let a single ~100-wide hub row inflate the gather
+                ~30x (measured 1.2 ms vs 0.03 ms at Elliptic scale, v5e)
+    res_w:      tuple of [n_dev, R_k, W_k] f32 (true edge weights —
+                residual edges bypass the factored scales; 0 = padding)
+    res_perm:   [n_dev, R_u] int32 — static merge permutation: position in
+                the concatenated bucket outputs of the t-th
+                sorted-by-destination residual row
+    res_rows:   [n_dev, R_u] int32 — unique LOCAL destination rows, sorted
+                ascending: one unique+sorted scatter-add applies the whole
+                spill (padded rows point out of range; scatter mode='drop')
     dst_scale:  [n_dev, N_loc] f32 or None — factored row scales
     src_scale_ext: [n_dev, N_ext] f32 or None — factored column scales over
                 the halo-extended rows (precomputed host-side: scales are
@@ -94,9 +103,10 @@ class ShardedBsda:
 
     a: jnp.ndarray
     src_local: jnp.ndarray
-    res_nbr: jnp.ndarray
-    res_w: jnp.ndarray
+    res_nbr: tuple
+    res_w: tuple
     res_rows: jnp.ndarray
+    res_perm: jnp.ndarray
     dst_scale: Optional[jnp.ndarray]
     src_scale_ext: Optional[jnp.ndarray]
     chunk: int
@@ -115,6 +125,11 @@ class ShardedBsda:
     b_ext_pad: int = 0
     depth_t: int = 0
     a_dtype_name: str = "float32"
+    # bit-packed planes of a_ext / a_t (see kernels/bsda.pack_a_planes) —
+    # the kernel ships these instead of the int8 tables when a_pack > 1
+    a_ext_p: Optional[jnp.ndarray] = None
+    a_t_p: Optional[jnp.ndarray] = None
+    a_pack: int = 1
 
 
 def partition_bsda(g: BsdaGraph, n_dev: int,
@@ -188,30 +203,61 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
     if e_nbr.size and (nbr_ext_all.min() < 0 or nbr_ext_all.max() >= n_ext):
         raise ValueError("residual source outside halo window; not banded")
 
-    # per-device compact residual rows, padded to common (R, W)
+    # per-device residual: width-bucketed unique rows (pow2 widths, like
+    # the single-device EllGraph residual) + a static merge permutation so
+    # the step applies the whole spill with ONE unique+sorted scatter-add
     per_dev = []
-    r_max, w_max = 1, 1
     for d in range(n_dev):
         sel = dev_of == d
         dsts = e_dst[sel]
         rows_u, inv = np.unique(dsts, return_inverse=True)
         counts = (np.bincount(inv, minlength=rows_u.size)
                   if rows_u.size else np.zeros(0, np.int64))
-        r_max = max(r_max, rows_u.size)
-        w_max = max(w_max, int(counts.max()) if counts.size else 1)
         per_dev.append((sel, rows_u, inv, counts))
 
-    res_nbr = np.zeros((n_dev, r_max, w_max), np.int32)
-    res_w = np.zeros((n_dev, r_max, w_max), np.float32)
-    res_rows = np.full((n_dev, r_max), n_loc, np.int32)  # pad -> dropped
+    width_set = {
+        int(2 ** np.ceil(np.log2(max(int(cnt), 1))))
+        for _, _, _, counts in per_dev for cnt in counts
+    }
+    widths = sorted(width_set) or [1]
+    n_buckets = len(widths)
+    # bucket index per unique row (first width >= count) and padded sizes
+    b_idx_dev = []
+    r_k_max = [1] * n_buckets
+    r_u_max = 1
+    for _, rows_u, _, counts in per_dev:
+        b_idx = np.searchsorted(widths, np.maximum(counts, 1), side="left")
+        b_idx_dev.append(b_idx)
+        for k in range(n_buckets):
+            r_k_max[k] = max(r_k_max[k], int((b_idx == k).sum()))
+        r_u_max = max(r_u_max, rows_u.size)
+
+    offsets = np.concatenate([[0], np.cumsum(r_k_max)])
+    res_nbr = [np.zeros((n_dev, r_k_max[k], widths[k]), np.int32)
+               for k in range(n_buckets)]
+    res_w = [np.zeros((n_dev, r_k_max[k], widths[k]), np.float32)
+             for k in range(n_buckets)]
+    res_rows = np.full((n_dev, r_u_max), n_loc, np.int32)  # pad -> dropped
+    res_perm = np.zeros((n_dev, r_u_max), np.int32)
     for d, (sel, rows_u, inv, counts) in enumerate(per_dev):
-        if not rows_u.size:
-            continue
-        order = np.argsort(inv, kind="stable")
-        within = np.arange(order.size) - np.cumsum(np.r_[0, counts[:-1]])[inv[order]]
-        res_nbr[d, inv[order], within] = nbr_ext_all[sel][order]
-        res_w[d, inv[order], within] = e_w[sel][order]
+        nbr_d = nbr_ext_all[sel]
+        w_d = e_w[sel]
+        b_idx = b_idx_dev[d]
+        pos_in_bucket = np.zeros(rows_u.size, np.int64)
+        for k in range(n_buckets):
+            in_k = np.nonzero(b_idx == k)[0]
+            pos_in_bucket[in_k] = np.arange(in_k.size)
+        for ri in range(rows_u.size):
+            sel_e = inv == ri
+            k = int(b_idx[ri])
+            i = int(pos_in_bucket[ri])
+            cnt = int(sel_e.sum())
+            res_nbr[k][d, i, :cnt] = nbr_d[sel_e]
+            res_w[k][d, i, :cnt] = w_d[sel_e]
+            res_perm[d, ri] = offsets[k] + i
         res_rows[d, : rows_u.size] = (rows_u - d * n_loc).astype(np.int32)
+    res_nbr = tuple(jnp.asarray(t) for t in res_nbr)
+    res_w = tuple(jnp.asarray(t) for t in res_w)
 
     def split_scale(s, ext: bool):
         if s is None:
@@ -230,6 +276,7 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         use_pallas = jax.default_backend() == "tpu"
 
     a_ext = src_ext = a_t = src_t = ds_kern = ss_kern = None
+    a_ext_p = a_t_p = None
     b_ext_pad = 0
     depth_t = 0
     if use_pallas:
@@ -288,6 +335,17 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
                 out[:, : s.shape[1]] = s
             return jnp.asarray(out)
 
+        if g.a_pack > 1:
+            from ..kernels.bsda import pack_a_planes
+
+            a_ext_p = jnp.asarray(np.stack([
+                pack_a_planes(a_ext_np[dev], g.a_pack)
+                for dev in range(n_dev)
+            ]))
+            a_t_p = jnp.asarray(np.stack([
+                pack_a_planes(a_t_np[dev], g.a_pack)
+                for dev in range(n_dev)
+            ]))
         a_ext = jnp.asarray(a_ext_np)
         src_ext = jnp.asarray(src_ext_np)
         a_t = jnp.asarray(a_t_np)
@@ -300,9 +358,10 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
     return ShardedBsda(
         a=jnp.asarray(a),
         src_local=jnp.asarray(src_local.astype(np.int32)),
-        res_nbr=jnp.asarray(res_nbr),
-        res_w=jnp.asarray(res_w),
+        res_nbr=res_nbr,
+        res_w=res_w,
         res_rows=jnp.asarray(res_rows),
+        res_perm=jnp.asarray(res_perm),
         dst_scale=split_scale(g.dst_scale, ext=False),
         src_scale_ext=split_scale(g.src_scale, ext=True),
         chunk=c,
@@ -321,6 +380,9 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         b_ext_pad=b_ext_pad,
         depth_t=depth_t,
         a_dtype_name=g.a_dtype_name,
+        a_ext_p=a_ext_p,
+        a_t_p=a_t_p,
+        a_pack=g.a_pack if a_ext_p is not None else 1,
     )
 
 
@@ -334,9 +396,10 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         sg,
         a=P(NODE_AXIS, None, None, None, None),
         src_local=P(NODE_AXIS, None, None),
-        res_nbr=P(NODE_AXIS, None, None),
-        res_w=P(NODE_AXIS, None, None),
+        res_nbr=tuple(P(NODE_AXIS, None, None) for _ in sg.res_nbr),
+        res_w=tuple(P(NODE_AXIS, None, None) for _ in sg.res_w),
         res_rows=P(NODE_AXIS, None),
+        res_perm=P(NODE_AXIS, None),
         dst_scale=opt(sg.dst_scale, P(NODE_AXIS, None)),
         src_scale_ext=opt(sg.src_scale_ext, P(NODE_AXIS, None)),
         a_ext=opt(sg.a_ext, P(NODE_AXIS, None, None, None, None)),
@@ -345,6 +408,8 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         src_t=opt(sg.src_t, P(NODE_AXIS, None, None)),
         ds_kern=opt(sg.ds_kern, P(NODE_AXIS, None)),
         ss_kern=opt(sg.ss_kern, P(NODE_AXIS, None)),
+        a_ext_p=opt(sg.a_ext_p, P(NODE_AXIS, None, None, None, None)),
+        a_t_p=opt(sg.a_t_p, P(NODE_AXIS, None, None, None, None)),
     )
 
 
@@ -380,14 +445,22 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
     else:
         out = _einsum_local_spmm(sg, xc, x_ext)
 
-    # local residual: sources from the halo-extended rows (true weights)
-    res_nbr, res_w, res_rows = sg.res_nbr[0], sg.res_w[0], sg.res_rows[0]
-    g_res = x_ext[res_nbr]  # [R, W, F]
-    spill = jnp.einsum(
-        "rw,rwf->rf", res_w.astype(g_res.dtype), g_res,
-        preferred_element_type=jnp.float32,
+    # local residual: sources from the halo-extended rows (true weights).
+    # Width-bucketed gathers + static merge permutation + ONE unique+sorted
+    # scatter-add (the bucket structure keeps the gather proportional to
+    # spill edges; the permutation restores sorted-destination order)
+    outs = [
+        jnp.einsum(
+            "rw,rwf->rf", w_k[0].astype(x_ext.dtype), x_ext[nbr_k[0]],
+            preferred_element_type=jnp.float32,
+        )
+        for nbr_k, w_k in zip(sg.res_nbr, sg.res_w)
+    ]
+    spill = jnp.concatenate(outs, axis=0)[sg.res_perm[0]]
+    out = out.at[sg.res_rows[0]].add(
+        spill.astype(out.dtype), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
     )
-    out = out.at[res_rows].add(spill.astype(out.dtype), mode="drop")
     return out.astype(out_dtype)
 
 
@@ -418,23 +491,26 @@ def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
     n_ext = x_ext.shape[0]  # (b_loc + 2h) * c
     pad_rows = b_ext_pad * c - n_ext
 
-    def view(a_tab, src_tab, depth, ds, ss):
+    def view(a_tab, src_tab, depth, ds, ss, a_p):
         return BsdaGraph(
             a=a_tab, src_chunk=src_tab, residual=None, residual_rows=None,
             num_nodes=b_ext_pad * c, num_chunks=b_ext_pad, depth=depth,
             n_pad=0, a_dtype_name=sg.a_dtype_name, chunk=c,
             use_pallas_kernel=True, max_chunk_dist=h,
             dst_scale=ds, src_scale=ss,
+            a_packed=a_p, a_pack=sg.a_pack if a_p is not None else 1,
         )
 
     g_fwd = view(sg.a_ext[0], sg.src_ext[0], sg.depth,
                  None if sg.ds_kern is None else sg.ds_kern[0],
-                 None if sg.ss_kern is None else sg.ss_kern[0])
+                 None if sg.ss_kern is None else sg.ss_kern[0],
+                 None if sg.a_ext_p is None else sg.a_ext_p[0])
     # backward: ct_ext = ss .* (A^T @ (ds .* ct)) — roles of the factored
     # scales swap (the kernel view's dst scale becomes ss over ext rows)
     g_bwd = view(sg.a_t[0], sg.src_t[0], sg.depth_t,
                  None if sg.ss_kern is None else sg.ss_kern[0],
-                 None if sg.ds_kern is None else sg.ds_kern[0])
+                 None if sg.ds_kern is None else sg.ds_kern[0],
+                 None if sg.a_t_p is None else sg.a_t_p[0])
 
     @jax.custom_vjp
     def dense(xe):
