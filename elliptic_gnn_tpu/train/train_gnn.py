@@ -443,6 +443,110 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     epochs_run = 0
     profile_dir = cfg.get("profile_dir")
 
+    k_sync = int(cfg.get("epochs_per_sync", 1) or 1)
+    if k_sync > 1:
+        # ---- K-epoch device-side scan (one host sync per K epochs) ----
+        # The per-epoch device->host sync costs ~30 ms through a relayed
+        # TPU and bounds the epoch rate even with the software-pipelined
+        # loop below. With `epochs_per_sync: K` the ENTIRE early-stopping
+        # loop — val PR-AUC (tie-exact, utils/metrics.py
+        # pr_auc_illicit_device), best-(params, state) tracking, patience
+        # counting — runs on device inside one lax.scan, frozen via
+        # lax.cond once patience is exhausted; the host reads a 3K-float
+        # report per block and re-dispatches. Same per-epoch decisions as
+        # the serial loop (the host logs the device-computed PR values);
+        # checkpoints land on block boundaries.
+        y_val_dev = jnp.asarray(y_val_bin.astype(np.int32))
+        if n_mesh > 1:
+            y_val_dev = jax.device_put(y_val_dev, rep)
+        max_ep = int(cfg["max_epochs"])
+        total = max_ep - start_epoch + 1
+
+        def scan_body(carry, _):
+            p, s, o, key, bval, bad_c, bp, bs, done = carry
+            active = jnp.logical_and(bad_c < patience, done < total)
+
+            def do(_):
+                key2, step_rng = jax.random.split(key)
+                p2, s2, o2, fused = epoch_step(
+                    p, s, o, step_rng, x, gops, t_idx_arg
+                )
+                probs_val = fused[:-1]
+                loss = fused[-1]
+                pr = M.pr_auc_illicit_device(
+                    y_val_dev, probs_val
+                ).astype(jnp.float32)
+                improved = pr > bval
+                bval2 = jnp.where(improved, pr, bval)
+                bad2 = jnp.where(improved, 0, bad_c + 1)
+                bp2 = jax.tree.map(
+                    lambda a, b: jnp.where(improved, a, b), p2, bp
+                )
+                bs2 = jax.tree.map(
+                    lambda a, b: jnp.where(improved, a, b), s2, bs
+                )
+                out = jnp.stack([
+                    loss.astype(jnp.float32), pr,
+                    jnp.asarray(1.0, jnp.float32),
+                ])
+                return (p2, s2, o2, key2, bval2, bad2, bp2, bs2,
+                        done + 1), out
+
+            def skip(_):
+                return carry, jnp.zeros(3, jnp.float32)
+
+            return jax.lax.cond(active, do, skip, None)
+
+        @jax.jit
+        def run_block(carry):
+            carry2, ys = jax.lax.scan(scan_body, carry, None, length=k_sync)
+            return carry2, ys.T.reshape(-1)  # [losses K | prs K | ran K]
+
+        carry = (
+            params, state, opt_state, rng,
+            jnp.asarray(best_val, jnp.float32), jnp.asarray(bad, jnp.int32),
+            best_params, best_state, jnp.asarray(0, jnp.int32),
+        )
+        ep = start_epoch
+        stopped = False
+        while ep <= max_ep and not stopped:
+            block_start = ep
+            carry, report = run_block(carry)
+            report = multihost.replicate_to_all_hosts(report)
+            rh = np.asarray(report)  # single host sync per K epochs
+            losses = rh[:k_sync]
+            prs = rh[k_sync: 2 * k_sync]
+            ran = rh[2 * k_sync:] > 0.5
+            for i in range(k_sync):
+                if not ran[i] or ep > max_ep:
+                    stopped = stopped or bad >= patience
+                    break
+                loss_f, pr_val = float(losses[i]), float(prs[i])
+                logger.log_epoch(ep, loss_f, pr_val)
+                epochs_run += 1
+                if pr_val > best_val:
+                    best_val, bad = pr_val, 0
+                else:
+                    bad += 1
+                if ep % 10 == 0 or ep == start_epoch:
+                    print(
+                        f"Epoch {ep:4d} | loss {loss_f:.4f} | "
+                        f"val PR-AUC(illicit) {pr_val:.4f} "
+                        f"(best {best_val:.4f})"
+                    )
+                ep += 1
+                if bad >= patience:
+                    print("Early stopping.")
+                    stopped = True
+                    break
+            if (ckpt_every and multihost.is_primary() and not stopped
+                    and (ep - 1) // ckpt_every > (block_start - 1) // ckpt_every):
+                checkpoint.save_resume(
+                    outdir, carry[0], carry[1], carry[2], ep - 1, best_val,
+                    bad, best_params=carry[6], best_state=carry[7],
+                )
+        return carry[6], carry[7], best_val, epochs_run
+
     def _process(ep, fused_dev, params_e, state_e, opt_e):
         """Host-side tail of one epoch: pull the fused vector, compute val
         PR-AUC, track best, checkpoint, decide early stop. Runs while the

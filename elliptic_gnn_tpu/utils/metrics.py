@@ -59,6 +59,44 @@ def precision_recall_curve(
     )
 
 
+def pr_auc_illicit_device(y_true, y_score):
+    """jnp average precision, identical semantics to pr_auc_illicit (tie
+    groups at distinct thresholds, step-wise AP) — runs ON DEVICE so the
+    K-epoch scanned training loop (train_gnn `epochs_per_sync`) can track
+    the best epoch without a per-epoch host sync.
+
+    Per-element form of the group formula: each positive contributes
+    (1/total_pos) * precision(at the END of its tie group). Equals
+    sklearn.average_precision_score including tied scores.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    y = jnp.asarray(y_true).astype(jnp.int32)
+    s = jnp.asarray(y_score)
+    n = s.shape[0]
+    order = jnp.argsort(-s, stable=True)
+    ys = y[order]
+    ss = s[order]
+    tps = jnp.cumsum(ys)
+    total = tps[-1]
+    fps = jnp.arange(1, n + 1, dtype=tps.dtype) - tps
+    prec = tps.astype(jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32) / (tps + fps)
+    # end of each tie group = last index of a distinct score value
+    is_end = jnp.concatenate(
+        [ss[:-1] != ss[1:], jnp.ones((1,), bool)]
+    )
+    idx = jnp.arange(n)
+    end_idx = jax.lax.cummin(
+        jnp.where(is_end, idx, n - 1)[::-1]
+    )[::-1]
+    ap = jnp.sum(jnp.where(ys > 0, prec[end_idx], 0.0)) / jnp.maximum(
+        total, 1
+    )
+    return jnp.where(total > 0, ap, 0.0)
+
+
 def pr_auc_illicit(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """Average precision for the illicit (positive=1) class.
 

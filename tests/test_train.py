@@ -211,3 +211,55 @@ def test_empty_window_raises(processed, tmp_path):
     cfg = dict(cfg, processed_dir=bad_dir, train_window_k=3)
     with _pytest.raises(RuntimeError, match="Train mask is empty"):
         train_gnn.main(cfg)
+
+
+def test_epochs_per_sync_scan_matches_serial(processed, tmp_path):
+    """The K-epoch device-side scan (`epochs_per_sync: K` — on-device
+    PR-AUC + best tracking + patience, one host sync per K epochs) makes
+    the SAME per-epoch decisions as the serial pipelined loop: identical
+    training_log rows, early-stop epoch, and final metrics."""
+    import csv
+
+    cfg1 = _base_cfg(processed, tmp_path, "sage_resbn",
+                     run_name="serial", patience=6)
+    cfg4 = dict(cfg1, run_name="scan4", epochs_per_sync=4)
+    train_gnn.main(cfg1)
+    train_gnn.main(cfg4)
+
+    def load(run):
+        with open(tmp_path / "gnn" / run / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        with open(tmp_path / "gnn" / run / "metrics.json") as f:
+            return rows, json.load(f)
+
+    r1, m1 = load("serial")
+    r4, m4 = load("scan4")
+    assert len(r1) == len(r4)
+    for a, b in zip(r1, r4):
+        assert a["epoch"] == b["epoch"]
+        assert abs(float(a["train_loss"]) - float(b["train_loss"])) < 1e-5
+        assert abs(float(a["val_pr_auc"]) - float(b["val_pr_auc"])) < 1e-5
+    for k in ("pr_auc_illicit", "roc_auc", "best_val_pr_auc", "epochs_run"):
+        assert abs(float(m1[k]) - float(m4[k])) < 1e-5, k
+
+
+def test_device_pr_auc_matches_host():
+    """pr_auc_illicit_device (the on-device metric the scanned loop uses
+    for best tracking) equals the host implementation and sklearn AP
+    semantics, including tied scores."""
+    from elliptic_gnn_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        n = int(rng.integers(5, 300))
+        y = (rng.random(n) < 0.25).astype(int)
+        s = np.round(rng.random(n), int(rng.integers(1, 4))).astype(
+            np.float32
+        )
+        assert abs(
+            float(M.pr_auc_illicit_device(y, s)) - M.pr_auc_illicit(y, s)
+        ) < 1e-5
+    # degenerate: no positives
+    assert float(M.pr_auc_illicit_device(
+        np.zeros(8, int), np.linspace(0, 1, 8).astype(np.float32)
+    )) == 0.0
