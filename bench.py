@@ -197,11 +197,16 @@ def main() -> None:
         f"{bw_spec:.0f} GB/s) {roofline_dt*1e3:.3f} ms, measured stream "
         f"{bw_stream:.0f} GB/s; capped={capped} -> {edges_per_s/1e9:.3f} Ge/s")
 
-    # ELL fallback path for comparison
+    # ELL fallback path for comparison — as the trainer runs it: full f32
+    # (the row gather is transaction-limited, so bf16 saves nothing and
+    # costs a conversion pass; measured 2.19 f32 / 2.46 bf16 / 2.64
+    # post-gather-cast — kernels/ell.py note). BENCH_r01's driver-recorded
+    # ELL was 2.17 ms at f32: there was never a regression, only the bf16
+    # operand the round-2 bench fed it.
     g_e, rk = renumber_for_ell(
         build_ell_graph(data.edge_index, data.num_nodes, mean=True)
     )
-    x_e = jnp.asarray(xp[np.argsort(rk)][: data.num_nodes]).astype(x_dtype)
+    x_e = jnp.asarray(xp[np.argsort(rk)][: data.num_nodes])
     dt_ell, _ = differential_time(lambda c, gg: ell_spmm(gg, c), x_e, g_e)
     log(f"[bench] ELL SpMM: {dt_ell*1e3:.3f} ms ({e/dt_ell/1e9:.3f} Ge/s)")
 

@@ -27,7 +27,10 @@ def spmm(g, x, compute_dtype=None):
 
     if isinstance(g, ShardedBsda):
         return sharded_bsda_spmm(g, x, compute_dtype=compute_dtype)
-    return ell_spmm(g, x, compute_dtype=compute_dtype)
+    # ELL fallback: the row gather is transaction-limited on TPU, so a
+    # bf16 compute dtype saves nothing and costs a conversion pass
+    # (~12% measured, kernels/ell.py) — run the fallback at full precision
+    return ell_spmm(g, x, compute_dtype=None)
 
 
 def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
