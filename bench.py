@@ -242,6 +242,58 @@ def main() -> None:
         gat_error = f"{type(exc).__name__}: {exc}"
         log(f"[bench] GAT stage failed (continuing): {exc}")
 
+    # ---- GAT train step (fwd+bwd+Adam) through the DEFAULT training
+    # dispatch (VERDICT r2 directive 3: a first-class bench field, not a
+    # dev-tool number) ----
+    dt_gat_train = None
+    gat_train_error = None
+    try:
+        import optax
+
+        from elliptic_gnn_tpu.models.modules import build_model
+
+        g_gt = B.build_bsda_for_kind(
+            data.edge_index, data.num_nodes, "gat", depth=3,
+            a_dtype="int8", transpose=True,
+        )
+        gt_model = build_model(
+            "gat", N_FEATURES,
+            {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0},
+        )
+        gt_params, _ = gt_model.init(jax.random.PRNGKey(0))
+        gt_tx = optax.adam(1e-3)
+        gt_opt = gt_tx.init(gt_params)
+        y_gt = jnp.asarray(np.maximum(data.y, 0).astype(np.int32))
+        tm_gt = jnp.asarray(data.train_mask.astype(np.float32))
+        x_gt = jnp.asarray(data.x)
+
+        def gat_train_step(carry, x, y, tm, gg):
+            params, opt_state = carry
+
+            def lf(p):
+                logits, _ = gt_model.apply(p, {}, x, gg, training=True,
+                                           rng=jax.random.key(0))
+                logp = jax.nn.log_softmax(logits, axis=1)
+                nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+                return (nll * tm).sum() / tm.sum()
+
+            _, grads = jax.value_and_grad(lf)(params)
+            updates, opt2 = gt_tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt2)
+
+        dt_gat_train = min(
+            differential_time(
+                gat_train_step, (gt_params, gt_opt), x_gt, y_gt, tm_gt,
+                g_gt, n_small=2, n_big=8, repeats=2,
+            )[0]
+            for _ in range(2)
+        )
+        log(f"[bench] GAT train step (default dispatch): "
+            f"{dt_gat_train*1e3:.3f} ms")
+    except Exception as exc:  # pragma: no cover - hardware-dependent
+        gat_train_error = f"{type(exc).__name__}: {exc}"
+        log(f"[bench] GAT train stage failed (continuing): {exc}")
+
     # ---- end-to-end training epochs (timed inside the loop) ----
     from elliptic_gnn_tpu.train.train_gnn import (
         _train_loop_fullbatch, build_train_state,
@@ -312,6 +364,10 @@ def main() -> None:
             "gat_forward_ms": (
                 f"failed: {gat_error}" if gat_error is not None
                 else None if dt_gat is None else dt_gat * 1e3
+            ),
+            "gat_train_step_ms": (
+                f"failed: {gat_train_error}" if gat_train_error is not None
+                else None if dt_gat_train is None else dt_gat_train * 1e3
             ),
             "train_epoch_ms": (
                 f"failed: {epoch_error}" if epoch_error is not None

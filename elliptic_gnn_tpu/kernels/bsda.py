@@ -43,7 +43,7 @@ CHUNK = 128
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_chunk", "residual", "residual_rows", "transpose",
-                 "dst_scale", "src_scale", "a_packed"],
+                 "dst_scale", "src_scale", "a_packed", "slot_occ"],
     meta_fields=["num_nodes", "num_chunks", "depth", "n_pad", "a_dtype_name",
                  "chunk", "use_pallas_kernel", "max_chunk_dist", "a_pack"],
 )
@@ -97,6 +97,13 @@ class BsdaGraph:
     # that stream 4x/2x. Kernel-only: the XLA einsum path keeps `a`.
     a_packed: Optional[jnp.ndarray] = None
     a_pack: int = 1
+    # per-destination-chunk slot cover: occ[b] = 1 + last nonzero slot (0
+    # when the chunk has no dense edges). Kernels that are MXU-pass-bound
+    # (the GAT backward sweeps) skip slots >= occ[b] entirely — the
+    # transpose tables pad every chunk to the max in-reference count
+    # (avg ~3.2 of DT=5 at Elliptic scale), so ~40% of their slots are
+    # empty. None = not computed (treat as fully occupied).
+    slot_occ: Optional[jnp.ndarray] = None
 
 
 def pack_a_planes(a_np: np.ndarray, pack: int) -> np.ndarray:
@@ -324,6 +331,15 @@ def build_bsda(
         if a_pack > 1:
             a_packed = jnp.asarray(pack_a_planes(a_int, a_pack))
 
+    # slot cover (1 + last nonzero slot per chunk) for occupancy-gated
+    # kernels; slot 0 is reserved for the diagonal even when empty, so the
+    # cover — not the count — is the safe skip bound
+    nz_slots = a.reshape(b, depth, -1).any(axis=-1)
+    slot_occ = np.max(
+        np.where(nz_slots, np.arange(1, depth + 1, dtype=np.int64)[None, :], 0),
+        axis=1,
+    ).astype(np.int32)
+
     return BsdaGraph(
         a=jnp.asarray(a.astype(np.dtype(a_dtype))),
         a_packed=a_packed,
@@ -342,6 +358,7 @@ def build_bsda(
         ) if b else 0,
         dst_scale=pad_scale(dst_scale),
         src_scale=pad_scale(src_scale),
+        slot_occ=jnp.asarray(slot_occ),
     )
 
 
@@ -384,6 +401,11 @@ def pad_bsda_chunks(g: BsdaGraph, multiple: int) -> BsdaGraph:
         n_pad=g.n_pad + pad * g.chunk,
         dst_scale=pad_scale(g.dst_scale),
         src_scale=pad_scale(g.src_scale),
+        slot_occ=(
+            None if g.slot_occ is None else jnp.concatenate(
+                [g.slot_occ, jnp.zeros(pad, g.slot_occ.dtype)], axis=0
+            )
+        ),
         transpose=(
             pad_bsda_chunks(g.transpose, multiple)
             if g.transpose is not None else None
@@ -612,9 +634,11 @@ def gat_block_transpose(g: BsdaGraph) -> BsdaGraph:
         for slot in range(len(refs[j_chunk]), dt):
             src_t[j_chunk, slot] = j_chunk
     dist = int(np.abs(src_t - np.arange(b)[:, None]).max()) if b else 0
+    occ_t = np.array([len(r) for r in refs], np.int32)
     return BsdaGraph(
         a=jnp.asarray(a_t),
         src_chunk=jnp.asarray(src_t),
+        slot_occ=jnp.asarray(occ_t),
         residual=None,
         residual_rows=None,
         num_nodes=g.num_nodes,

@@ -19,9 +19,14 @@ merge combines with the residual spill, so the result is bitwise the
 global segment softmax.
 
 The kernel itself is forward-only. Inference and the per-epoch val
-evaluation dispatch here (models/modules.py); training uses the
-autodiff-able XLA path (bsda_gat.py) by default, or the opt-in fused
-custom-VJP pipeline whose backward sweeps live in pallas_gat_bwd.py.
+evaluation dispatch here (models/modules.py); on TPU, training also runs
+this forward by default via the fused custom-VJP pipeline whose backward
+sweeps live in pallas_gat_bwd.py (round 3: the occupancy-gated sweeps
+made it faster than the autodiff XLA path; `gat_fused_vjp: false`
+reverts). An occupancy-gated fori_loop variant of THIS kernel was
+measured slower than the unrolled two-pass form (+40% at ~14% skippable
+slots — the rescaling chain serializes what the unrolled loop
+interleaves), so the forward stays fully unrolled.
 
 Replaces GATConv's fused CUDA attention kernels (reference
 src/models/gnn.py:56-76 via PyG) at the eval path.

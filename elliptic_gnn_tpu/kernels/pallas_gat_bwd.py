@@ -95,63 +95,76 @@ def _ring_plumbing(x_hbm, ring, sem, g_chunks, nb):
     static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "pack2",
                      "slope"),
 )
-def _sweep_dst_call(src_chunk, mult, own2, pay1, *, c, g_chunks, d, h, ch,
-                    pack1, pack2, slope):
+def _sweep_dst_call(src_chunk, occ, mult, own2, pay1, *, c, g_chunks, d, h,
+                    ch, pack1, pack2, slope):
     """Dest-oriented sweep: own = G2 blocks, ring = fwd payload.
-    Emits [b_pad, c, pack1] rows [ 0 (hc) | 0 (h) | d a_dst (h) | 0 ]."""
+    Emits [b_pad, c, pack1] rows [ 0 (hc) | 0 (h) | d a_dst (h) | 0 ].
+
+    Occupancy-gated like the source sweep (~14% of forward-table slots are
+    empty at Elliptic scale): `lax.fori_loop` over the per-chunk slot
+    cover with the per-head rowdot accumulators as register carries —
+    measured zero overhead at full occupancy vs the unrolled loop."""
     b_pad = mult.shape[0]
     nb = b_pad // g_chunks
     hc = h * ch
 
-    def kernel(src_ref, a_ref, own_ref, pay_hbm, out_ref, ring, sem):
+    def kernel(src_ref, occ_ref, a_ref, own_ref, pay_hbm, out_ref, ring,
+               sem):
         bi = pl.program_id(0)
         base = bi * g_chunks
         chunk_payload = _ring_plumbing(pay_hbm, ring, sem, g_chunks, nb)
 
+        ones_col = jnp.ones((c, 1), jnp.float32)
         for g_i in range(g_chunks):
             own = own_ref[g_i]                       # [C, pack2]
-            bufs, mults, bsrcT, maxsrc = [], [], [], []
-            for d_i in range(d):
+            abar_hs = [own[:, hh * ch: (hh + 1) * ch] for hh in range(h)]
+            sbar_hs = [own[:, hc + hh: hc + hh + 1] for hh in range(h)]
+            alpha_hs = [own[:, hc + h + hh: hc + h + hh + 1]
+                        for hh in range(h)]
+            m_hs = [own[:, hc + 2 * h + hh: hc + 2 * h + hh + 1]
+                    for hh in range(h)]
+
+            def slot_body(d_i, hacc_all):            # [C, h*(ch+1)]
                 src = src_ref[base + g_i, d_i]
                 buf = chunk_payload(src)             # [C, pack1]
-                bufs.append(buf)
-                mults.append(a_ref[g_i, d_i].astype(jnp.float32))
-                bs = jnp.transpose(buf[:, hc: hc + h])  # [H, Cj]
-                bsrcT.append(bs)
-                maxsrc.append(jnp.max(bs, axis=1, keepdims=True))  # [H,1]
-                # [xp | 1] per head is assembled lazily below
-            ones_col = jnp.ones((c, 1), jnp.float32)
-            dalpha = []
-            for hh in range(h):
-                abar_h = own[:, hh * ch: (hh + 1) * ch]          # [Ci, ch]
-                sbar_h = own[:, hc + hh: hc + hh + 1]            # [Ci, 1]
-                alpha_h = own[:, hc + h + hh: hc + h + hh + 1]
-                m_h = own[:, hc + 2 * h + hh: hc + 2 * h + hh + 1]
-                h_acc = jnp.zeros((c, ch + 1), jnp.float32)
-                for d_i in range(d):
-                    mb = maxsrc[d_i][hh, 0]
-                    cand = alpha_h + mb
-                    pa = jnp.exp(cand - m_h)                     # [Ci, 1]
-                    na = jnp.exp(slope * cand - m_h)
-                    brow = bsrcT[d_i][hh: hh + 1, :]             # [1, Cj]
+                mult_b = a_ref[g_i, d_i].astype(jnp.float32)
+                bs = jnp.transpose(buf[:, hc: hc + h])       # [H, Cj]
+                maxs = jnp.max(bs, axis=1, keepdims=True)    # [H, 1]
+                parts = []
+                for hh in range(h):
+                    mb = maxs[hh, 0]
+                    cand = alpha_hs[hh] + mb
+                    pa = jnp.exp(cand - m_hs[hh])            # [Ci, 1]
+                    na = jnp.exp(slope * cand - m_hs[hh])
+                    brow = bs[hh: hh + 1, :]                 # [1, Cj]
                     pb = jnp.exp(brow - mb)
                     nb_ = jnp.exp(slope * (brow - mb))
-                    t = brow + alpha_h                           # [Ci, Cj]
+                    t = brow + alpha_hs[hh]                  # [Ci, Cj]
                     e_sig = jnp.where(
                         t >= 0, pa * pb, slope * (na * nb_)
-                    ) * mults[d_i]
+                    ) * mult_b
                     # rowdot trick: da_dst_i = sum_j e_sig (x_j.A_bar_i +
                     # S_bar_i) = A_bar_i . (e_sig @ x)_i + S_bar_i (e_sig
                     # @ 1)_i — one K=128 MXU pass, no [C,C] q matrix
                     rhs = jnp.concatenate(
-                        [bufs[d_i][:, hh * ch: (hh + 1) * ch], ones_col],
+                        [buf[:, hh * ch: (hh + 1) * ch], ones_col],
                         axis=1,
-                    )                                            # [Cj, ch+1]
-                    h_acc = h_acc + jax.lax.dot(
+                    )                                        # [Cj, ch+1]
+                    parts.append(jax.lax.dot(
                         e_sig, rhs, preferred_element_type=jnp.float32
-                    )
-                da = jnp.sum(abar_h * h_acc[:, :ch], axis=1, keepdims=True)
-                dalpha.append(da + sbar_h * h_acc[:, ch: ch + 1])
+                    ))
+                return hacc_all + jnp.concatenate(parts, axis=1)
+
+            hacc_all = jax.lax.fori_loop(
+                0, occ_ref[base + g_i], slot_body,
+                jnp.zeros((c, h * (ch + 1)), jnp.float32),
+            )
+            dalpha = []
+            for hh in range(h):
+                h_acc = hacc_all[:, hh * (ch + 1): (hh + 1) * (ch + 1)]
+                da = jnp.sum(abar_hs[hh] * h_acc[:, :ch], axis=1,
+                             keepdims=True)
+                dalpha.append(da + sbar_hs[hh] * h_acc[:, ch: ch + 1])
             out_ref[g_i] = jnp.concatenate(
                 [jnp.zeros((c, hc + h), jnp.float32)]
                 + dalpha
@@ -160,17 +173,19 @@ def _sweep_dst_call(src_chunk, mult, own2, pay1, *, c, g_chunks, d, h, ch,
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((g_chunks, d, c, c), lambda bi, src: (bi, 0, 0, 0),
+            pl.BlockSpec((g_chunks, d, c, c),
+                         lambda bi, src, occ: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_chunks, c, pack2), lambda bi, src: (bi, 0, 0),
+            pl.BlockSpec((g_chunks, c, pack2),
+                         lambda bi, src, occ: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((g_chunks, c, pack1),
-                               lambda bi, src: (bi, 0, 0),
+                               lambda bi, src, occ: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((RING * g_chunks, c, pack1), pay1.dtype),
@@ -190,7 +205,7 @@ def _sweep_dst_call(src_chunk, mult, own2, pay1, *, c, g_chunks, d, h, ch,
             transcendentals=b_pad * d * h * 4 * c,
         ),
         interpret=_interpret(),
-    )(src_chunk, mult, own2, pay1)
+    )(src_chunk, occ, mult, own2, pay1)
 
 
 @functools.partial(
@@ -198,17 +213,29 @@ def _sweep_dst_call(src_chunk, mult, own2, pay1, *, c, g_chunks, d, h, ch,
     static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "pack2",
                      "slope"),
 )
-def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
-                    pack1, pack2, slope):
+def _sweep_src_call(src_chunk, occ, mult, own1, pay2, *, c, g_chunks, d, h,
+                    ch, pack1, pack2, slope):
     """Source-oriented sweep over the TRANSPOSE tables: own = fwd payload,
-    ring = G2. Emits [b_pad, c, pack1] rows [ d xp | d a_src | 0 | 0 ]."""
+    ring = G2. Emits [b_pad, c, pack1] rows [ d xp | d a_src | 0 | 0 ].
+
+    Occupancy-gated: the transpose tables pad every chunk to the MAX
+    in-reference count (DT=5 at Elliptic scale, avg ~2.6), so ~48% of the
+    (chunk, slot) iterations carry all-zero blocks. The slot loop is a
+    `lax.fori_loop` with the per-chunk slot cover `occ` (scalar-prefetched)
+    as its dynamic trip count, with the per-head (d xp, d a_src) partials
+    as REGISTER carries — skipped slots have zero multiplicities, so the
+    truncated sum is exact. (An out_ref read-modify-write formulation was
+    tried first and lost: the VMEM round-trip per slot serializes the MXU
+    pipeline — same-process A/B showed the register-carry unrolled loop
+    1.5x faster than RMW at full occupancy; see docs/PERF_NOTES.md.)"""
     b_pad = mult.shape[0]
     nb = b_pad // g_chunks
     hc = h * ch
 
     lhs_rows = ((ch + 1 + 7) // 8) * 8  # skinny-M lhs padded to sublanes
 
-    def kernel(src_ref, a_ref, own_ref, pay_hbm, out_ref, ring, sem):
+    def kernel(src_ref, occ_ref, a_ref, own_ref, pay_hbm, out_ref, ring,
+               sem):
         bi = pl.program_id(0)
         base = bi * g_chunks
         chunk_payload = _ring_plumbing(pay_hbm, ring, sem, g_chunks, nb)
@@ -217,36 +244,38 @@ def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
             own = own_ref[g_i]                       # [C, pack1] fwd payload
             beta = own[:, hc: hc + h]                # [Cj, H]
             mbs = jnp.max(beta, axis=0, keepdims=True)   # [1, H] own-row max
-            bufs, mults = [], []
-            for d_i in range(d):
-                src = src_ref[base + g_i, d_i]
-                bufs.append(chunk_payload(src))      # [C, pack2] G2
-                mults.append(a_ref[g_i, d_i].astype(jnp.float32))
-            dx_out, dbeta_out = [], []
+            # per-head own-chunk working set, hoisted out of the slot loop:
+            # transposed [feature, node] layouts keep the skinny dimension
+            # on sublanes so every MXU pass streams only ch/ch+1 rows
+            # instead of padding N to 128 lanes
+            xp_ts, beta_rows, pb_rs, nb_rs = [], [], [], []
             for hh in range(h):
-                # transposed working set: [feature, node] layouts keep the
-                # skinny dimension on sublanes so every MXU pass streams
-                # only ch/ch+1 rows instead of padding N to 128 lanes
-                xp_t = jnp.transpose(own[:, hh * ch: (hh + 1) * ch])
+                xp_ts.append(jnp.transpose(own[:, hh * ch: (hh + 1) * ch]))
                 beta_row = jnp.transpose(beta[:, hh: hh + 1])    # [1, Cj]
+                beta_rows.append(beta_row)
                 mb = mbs[0, hh]
-                pb_r = jnp.exp(beta_row - mb)                    # [1, Cj]
-                nb_r = jnp.exp(slope * (beta_row - mb))
-                dxp_t = jnp.zeros((ch, c), jnp.float32)
-                dbeta_row = jnp.zeros((1, c), jnp.float32)
-                for d_i in range(d):
-                    buf = bufs[d_i]
+                pb_rs.append(jnp.exp(beta_row - mb))             # [1, Cj]
+                nb_rs.append(jnp.exp(slope * (beta_row - mb)))
+
+            def slot_body(d_i, carry):
+                dxp_all, dbeta_all = carry           # [h*ch, C], [h, C]
+                src = src_ref[base + g_i, d_i]
+                buf = chunk_payload(src)             # [C, pack2] G2
+                mult_b = a_ref[g_i, d_i].astype(jnp.float32)
+                dx_parts, db_parts = [], []
+                for hh in range(h):
                     abar = buf[:, hh * ch: (hh + 1) * ch]   # [Ci, ch]
                     sbar = buf[:, hc + hh: hc + hh + 1]     # [Ci, 1]
                     alpha = buf[:, hc + h + hh: hc + h + hh + 1]
                     m_i = buf[:, hc + 2 * h + hh: hc + 2 * h + hh + 1]
+                    mb = mbs[0, hh]
                     cand = alpha + mb                        # [Ci, 1]
                     pa_c = jnp.exp(cand - m_i)
                     na_c = jnp.exp(slope * cand - m_i)
-                    t = alpha + beta_row                     # [Ci, Cj]
+                    t = alpha + beta_rows[hh]                # [Ci, Cj]
                     pos = t >= 0
-                    e = jnp.where(pos, pa_c * pb_r, na_c * nb_r) \
-                        * mults[d_i]                         # [Ci, Cj]
+                    e = jnp.where(pos, pa_c * pb_rs[hh],
+                                  na_c * nb_rs[hh]) * mult_b
                     e_sig = jnp.where(pos, e, slope * e)
                     # lhs [ abar | S_bar | 0pad ]^T: ch+1 live rows, padded
                     # to a sublane multiple — two skinny-M passes replace
@@ -256,18 +285,30 @@ def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
                          jnp.zeros((c, lhs_rows - ch - 1), jnp.float32)],
                         axis=1,
                     ))                                       # [lhs_rows, Ci]
-                    dxp_t = dxp_t + jax.lax.dot(
+                    dx_parts.append(jax.lax.dot(
                         lhs[:ch], e, preferred_element_type=jnp.float32
-                    )
+                    ))
                     z = jax.lax.dot(
                         lhs, e_sig, preferred_element_type=jnp.float32
                     )                                        # [lhs_rows, Cj]
                     # d a_src_j = x_j . (e_sig^T A_bar)_j + (e_sig^T S)_j
-                    dbeta_row = dbeta_row + jnp.sum(
-                        xp_t * z[:ch], axis=0, keepdims=True
-                    ) + z[ch: ch + 1]
-                dx_out.append(jnp.transpose(dxp_t))          # [Cj, ch]
-                dbeta_out.append(jnp.transpose(dbeta_row))   # [Cj, 1]
+                    db_parts.append(jnp.sum(
+                        xp_ts[hh] * z[:ch], axis=0, keepdims=True
+                    ) + z[ch: ch + 1])
+                return (
+                    dxp_all + jnp.concatenate(dx_parts, axis=0),
+                    dbeta_all + jnp.concatenate(db_parts, axis=0),
+                )
+
+            dxp_all, dbeta_all = jax.lax.fori_loop(
+                0, occ_ref[base + g_i], slot_body,
+                (jnp.zeros((hc, c), jnp.float32),
+                 jnp.zeros((h, c), jnp.float32)),
+            )
+            dx_out = [jnp.transpose(dxp_all[hh * ch: (hh + 1) * ch])
+                      for hh in range(h)]               # [Cj, ch] each
+            dbeta_out = [jnp.transpose(dbeta_all[hh: hh + 1])
+                         for hh in range(h)]            # [Cj, 1] each
             out_ref[g_i] = jnp.concatenate(
                 dx_out + dbeta_out
                 + [jnp.zeros((c, pack1 - hc - h), jnp.float32)],
@@ -275,17 +316,19 @@ def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
             )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((g_chunks, d, c, c), lambda bi, src: (bi, 0, 0, 0),
+            pl.BlockSpec((g_chunks, d, c, c),
+                         lambda bi, src, occ: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_chunks, c, pack1), lambda bi, src: (bi, 0, 0),
+            pl.BlockSpec((g_chunks, c, pack1),
+                         lambda bi, src, occ: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((g_chunks, c, pack1),
-                               lambda bi, src: (bi, 0, 0),
+                               lambda bi, src, occ: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((RING * g_chunks, c, pack2), pay2.dtype),
@@ -305,7 +348,7 @@ def _sweep_src_call(src_chunk, mult, own1, pay2, *, c, g_chunks, d, h, ch,
             transcendentals=b_pad * d * h * 6 * c,
         ),
         interpret=_interpret(),
-    )(src_chunk, mult, own1, pay2)
+    )(src_chunk, occ, mult, own1, pay2)
 
 
 def _grid_pad(g: BsdaGraph, g_chunks: int, payload, fill_rows, ring):
@@ -319,6 +362,16 @@ def _grid_pad(g: BsdaGraph, g_chunks: int, payload, fill_rows, ring):
     pad_b = (-b) % g_chunks
     mult = g.a
     src_chunk = g.src_chunk
+    # per-chunk slot cover for the occupancy-gated source sweep; padded
+    # chunks have no edges (occ 0). Falls back to a dense compute from the
+    # tables when the graph was built without slot_occ.
+    occ = g.slot_occ
+    if occ is None:
+        nz = jnp.any(mult.reshape(b, d, -1) != 0, axis=-1)
+        occ = jnp.max(
+            jnp.where(nz, jnp.arange(1, d + 1, dtype=jnp.int32)[None, :], 0),
+            axis=1,
+        ).astype(jnp.int32)
     if pad_b:
         mult = jnp.concatenate(
             [mult, jnp.zeros((pad_b,) + mult.shape[1:], mult.dtype)], axis=0
@@ -327,6 +380,7 @@ def _grid_pad(g: BsdaGraph, g_chunks: int, payload, fill_rows, ring):
             [src_chunk, jnp.full((pad_b, d), b - 1, src_chunk.dtype)],
             axis=0,
         )
+        occ = jnp.concatenate([occ, jnp.zeros(pad_b, occ.dtype)], axis=0)
         payload = jnp.concatenate(
             [payload,
              jnp.broadcast_to(fill_rows, (pad_b,) + payload.shape[1:])],
@@ -336,7 +390,7 @@ def _grid_pad(g: BsdaGraph, g_chunks: int, payload, fill_rows, ring):
             [ring, jnp.zeros((pad_b,) + ring.shape[1:], ring.dtype)],
             axis=0,
         )
-    return src_chunk, mult, payload, ring, b + pad_b
+    return src_chunk, occ, mult, payload, ring, b + pad_b
 
 
 def flash_gat_backward(g: BsdaGraph, payload, g2, h: int, ch: int,
@@ -376,22 +430,22 @@ def flash_gat_backward(g: BsdaGraph, payload, g2, h: int, ch: int,
     # rank-1 exponents vanish), ring = fwd payload
     fill2 = np.zeros(pack2, np.float32)
     fill2[hc + h: hc + 2 * h] = NEG_INF
-    src_c, mult, own2, ring1, _ = _grid_pad(
+    src_c, occ_d, mult, own2, ring1, _ = _grid_pad(
         g, g_chunks, g23, jnp.asarray(fill2), pay3,
     )
     d_adst = _sweep_dst_call(
-        src_c, mult, own2, ring1,
+        src_c, occ_d, mult, own2, ring1,
         c=c, g_chunks=g_chunks, d=g.depth, h=h, ch=ch, pack1=pack1,
         pack2=pack2, slope=slope,
     ).reshape(-1, pack1)[: b * c]
 
     # source sweep over the transpose tables: own = fwd payload (pad:
     # NEG_INF rows, as the fwd kernel), ring = G2
-    src_t, mult_t, own1, ring2, _ = _grid_pad(
+    src_t, occ_t, mult_t, own1, ring2, _ = _grid_pad(
         gT, gt_chunks, pay3, jnp.full((pack1,), NEG_INF, jnp.float32), g23,
     )
     d_src = _sweep_src_call(
-        src_t, mult_t, own1, ring2,
+        src_t, occ_t, mult_t, own1, ring2,
         c=c, g_chunks=gt_chunks, d=gT.depth, h=h, ch=ch, pack1=pack1,
         pack2=pack2, slope=slope,
     ).reshape(-1, pack1)[: b * c]

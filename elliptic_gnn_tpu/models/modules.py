@@ -324,12 +324,25 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
     if arch == "gat":
         heads = int(cfg.get("heads", 4))
         d_head = hidden // heads
-        # opt-in: custom-VJP training pipeline (flash forward + banded
-        # Pallas backward sweeps). Measured ~par with the XLA autodiff
-        # path at Elliptic scale (docs/PERF_NOTES.md "GAT training
-        # backward"), so autodiff stays the default.
-        fused_train = bool(cfg.get("gat_fused_vjp", False)) or \
-            os.environ.get("EGNN_GAT_FUSED", "") == "1"
+        # custom-VJP training pipeline (flash forward + banded Pallas
+        # backward sweeps): DEFAULT on TPU since the round-3
+        # occupancy-gated sweeps — measured ~25% faster than the XLA
+        # autodiff path at Elliptic scale in same-process A/B
+        # (docs/PERF_NOTES.md "GAT training backward", round 3). Off-TPU
+        # the kernels run in interpret mode and autodiff stays default.
+        # Override with `gat_fused_vjp: true/false` or EGNN_GAT_FUSED=1/0;
+        # unsupported shapes/graphs still fall back to autodiff at trace
+        # time (packed_gat_train_forward returns None).
+        fused_cfg = cfg.get("gat_fused_vjp", "auto")
+        env_fused = os.environ.get("EGNN_GAT_FUSED", "")
+        if env_fused == "1":
+            fused_cfg = True
+        elif env_fused == "0":
+            fused_cfg = False
+        fused_train = (
+            jax.default_backend() == "tpu" if fused_cfg == "auto"
+            else bool(fused_cfg)
+        )
 
         def init(key):
             keys = jax.random.split(key, layers)

@@ -168,12 +168,19 @@ def build_train_state(cfg: dict, data, seed: int):
             a_dtype = "bfloat16" if cfg.get("amp", False) else "float32"
         # the explicit-collective path differentiates through shard_map
         # AD (ppermute transposes itself); no A^T encoding needed. GAT
-        # builds the block-transpose only when the opt-in fused VJP is on
-        # (kernels/pallas_gat_bwd.py; docs/PERF_NOTES.md)
+        # builds the block-transpose whenever the fused attention VJP may
+        # engage — default on TPU since round 3 (kernels/pallas_gat_bwd.py;
+        # docs/PERF_NOTES.md), opt-out via gat_fused_vjp: false
+        gat_fused = cfg.get("gat_fused_vjp", "auto")
+        env_fused = os.environ.get("EGNN_GAT_FUSED", "")
+        if env_fused == "1":
+            gat_fused = True
+        elif env_fused == "0":
+            gat_fused = False
+        if gat_fused == "auto":
+            gat_fused = jax.default_backend() == "tpu"
         want_transpose = agg != "shard_map" and (
-            kind != "gat"
-            or bool(cfg.get("gat_fused_vjp", False))
-            or os.environ.get("EGNN_GAT_FUSED", "") == "1"
+            kind != "gat" or bool(gat_fused)
         )
         gops = build_bsda_for_kind(
             data.edge_index, data.num_nodes, kind,

@@ -310,3 +310,27 @@ def test_bfs_order_honors_interleaved_blocks():
     block_by_new[rank] = block
     changes = int((np.diff(block_by_new) != 0).sum())
     assert changes == 3, f"blocks interleaved after BFS ({changes} switches)"
+
+
+def test_slot_occ_cover_matches_tables():
+    """slot_occ (the occupancy cover driving the gated GAT backward sweep)
+    must equal 1 + the last nonzero slot of the dense tables, for both the
+    forward and the exact block-transpose encodings."""
+    ei, blocks = _graph(900, 3, 2.5, seed=5)
+    rank = bfs_order(ei, 900, blocks)
+    ei_r = np.stack([rank[ei[0]], rank[ei[1]]])
+    g = build_bsda_for_kind(ei_r, 900, "gat", depth=3, a_dtype="int8",
+                            transpose=True)
+    for gg in (g, g.transpose):
+        a = np.asarray(gg.a)
+        nz = a.reshape(a.shape[0], a.shape[1], -1).any(axis=-1)
+        cover = np.max(
+            np.where(nz, np.arange(1, a.shape[1] + 1)[None, :], 0), axis=1
+        )
+        assert gg.slot_occ is not None
+        np.testing.assert_array_equal(np.asarray(gg.slot_occ), cover)
+    # gating skips only zero blocks: every slot >= occ must be all-zero
+    aT = np.asarray(g.transpose.a)
+    occ = np.asarray(g.transpose.slot_occ)
+    for j in range(aT.shape[0]):
+        assert not aT[j, occ[j]:].any()

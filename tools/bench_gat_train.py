@@ -39,8 +39,12 @@ def main():
     g = build_bsda_for_kind(rdata.edge_index, rdata.num_nodes, "gat",
                             depth=3, a_dtype="float32", transpose=True)
 
+    # force the autodiff path: this tool's historical numbers (36.8 ms r2)
+    # are XLA-autodiff; the fused custom-VJP default is measured by
+    # bench.py's gat_train_step_ms stage and tools/bench_gat_breakdown.py
     model = build_model("gat", 166, {"hidden_dim": 32, "layers": 2,
-                                     "heads": 4, "dropout": 0.0})
+                                     "heads": 4, "dropout": 0.0,
+                                     "gat_fused_vjp": False})
     params, _ = model.init(jax.random.PRNGKey(0))
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
