@@ -100,9 +100,11 @@ class BsdaGraph:
     # per-destination-chunk slot cover: occ[b] = 1 + last nonzero slot (0
     # when the chunk has no dense edges). Kernels that are MXU-pass-bound
     # (the GAT backward sweeps) skip slots >= occ[b] entirely — the
-    # transpose tables pad every chunk to the max in-reference count
-    # (avg ~3.2 of DT=5 at Elliptic scale), so ~40% of their slots are
-    # empty. None = not computed (treat as fully occupied).
+    # transpose tables pad every chunk to the max in-reference count; on
+    # the canonical bench graph (synthetic Elliptic-scale, symmetrized,
+    # seed 0, depth 3) that is DT=5 with mean occ 2.89, i.e. ~42% empty
+    # slots (the exact mean varies a few % with graph/seed). None = not
+    # computed (treat as fully occupied).
     slot_occ: Optional[jnp.ndarray] = None
 
 

@@ -219,8 +219,10 @@ def _sweep_src_call(src_chunk, occ, mult, own1, pay2, *, c, g_chunks, d, h,
     ring = G2. Emits [b_pad, c, pack1] rows [ d xp | d a_src | 0 | 0 ].
 
     Occupancy-gated: the transpose tables pad every chunk to the MAX
-    in-reference count (DT=5 at Elliptic scale, avg ~2.6), so ~48% of the
-    (chunk, slot) iterations carry all-zero blocks. The slot loop is a
+    in-reference count (DT=5 on the canonical bench graph: synthetic
+    Elliptic-scale, symmetrized, seed 0, depth 3 — mean occ 2.89), so
+    ~42% of the (chunk, slot) iterations carry all-zero blocks (a few %
+    graph/seed variation; the round-3 measurement graph read 2.59/48%). The slot loop is a
     `lax.fori_loop` with the per-chunk slot cover `occ` (scalar-prefetched)
     as its dynamic trip count, with the per-head (d xp, d a_src) partials
     as REGISTER carries — skipped slots have zero multiplicities, so the

@@ -68,6 +68,32 @@ MODEL_GRAPH_KIND = {
 }
 
 
+def resolve_gat_fused(cfg: dict) -> bool:
+    """Resolve the fused GAT attention custom-VJP dispatch (one shared
+    rule: cfg `gat_fused_vjp` true/false/'auto', overridden by
+    EGNN_GAT_FUSED=1/0; 'auto' = on when running on TPU). Used both by the
+    model's training dispatch below and by the trainer's decision to build
+    the block-transpose tables (train/train_gnn.py) — a single resolver so
+    the two can never disagree (a build without transpose tables would make
+    packed_gat_train_forward silently fall back to autodiff)."""
+    fused_cfg = cfg.get("gat_fused_vjp", "auto")
+    env_fused = os.environ.get("EGNN_GAT_FUSED", "")
+    if env_fused == "1":
+        fused_cfg = True
+    elif env_fused == "0":
+        fused_cfg = False
+    elif env_fused:
+        import warnings
+
+        warnings.warn(
+            f"EGNN_GAT_FUSED={env_fused!r} not understood (expected '1' or "
+            "'0'); ignoring", stacklevel=2,
+        )
+    if fused_cfg == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(fused_cfg)
+
+
 def prepare_graph_ops(edge_index: np.ndarray, num_nodes: int, kind: str):
     """Build the model-specific ELL aggregation encoding (host-side,
     one-time). The BSDA encodings (kernels/bsda.py) are built directly by
@@ -333,16 +359,7 @@ def build_model(arch: str, in_dim: int, cfg: dict) -> Model:
         # Override with `gat_fused_vjp: true/false` or EGNN_GAT_FUSED=1/0;
         # unsupported shapes/graphs still fall back to autodiff at trace
         # time (packed_gat_train_forward returns None).
-        fused_cfg = cfg.get("gat_fused_vjp", "auto")
-        env_fused = os.environ.get("EGNN_GAT_FUSED", "")
-        if env_fused == "1":
-            fused_cfg = True
-        elif env_fused == "0":
-            fused_cfg = False
-        fused_train = (
-            jax.default_backend() == "tpu" if fused_cfg == "auto"
-            else bool(fused_cfg)
-        )
+        fused_train = resolve_gat_fused(cfg)
 
         def init(key):
             keys = jax.random.split(key, layers)

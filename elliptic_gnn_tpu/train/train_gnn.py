@@ -170,17 +170,12 @@ def build_train_state(cfg: dict, data, seed: int):
         # AD (ppermute transposes itself); no A^T encoding needed. GAT
         # builds the block-transpose whenever the fused attention VJP may
         # engage — default on TPU since round 3 (kernels/pallas_gat_bwd.py;
-        # docs/PERF_NOTES.md), opt-out via gat_fused_vjp: false
-        gat_fused = cfg.get("gat_fused_vjp", "auto")
-        env_fused = os.environ.get("EGNN_GAT_FUSED", "")
-        if env_fused == "1":
-            gat_fused = True
-        elif env_fused == "0":
-            gat_fused = False
-        if gat_fused == "auto":
-            gat_fused = jax.default_backend() == "tpu"
+        # docs/PERF_NOTES.md), opt-out via gat_fused_vjp: false. The shared
+        # resolver guarantees this matches the model's dispatch decision.
+        from ..models.modules import resolve_gat_fused
+
         want_transpose = agg != "shard_map" and (
-            kind != "gat" or bool(gat_fused)
+            kind != "gat" or resolve_gat_fused(cfg)
         )
         gops = build_bsda_for_kind(
             data.edge_index, data.num_nodes, kind,
@@ -288,14 +283,6 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
 
         mesh = make_mesh(n_mesh)
         if explicit_sm:
-            if cfg.get("focal_loss", False) or \
-                    str(cfg.get("time_loss_weighting", "none")) != "none" or \
-                    float(cfg.get("time_embed_l2", 0.0) or 0.0) > 0:
-                raise ValueError(
-                    "aggregation: shard_map supports the class-weighted CE "
-                    "loss only (focal/time-weighted losses: use the GSPMD "
-                    "path)"
-                )
             from ..kernels.bsda import pad_bsda_chunks
             from ..parallel.shardmap_step import partition_bsda
 
@@ -370,15 +357,18 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     # high-latency links; the reference pulls full-graph probs each epoch,
     # train_gnn.py:254-257).
     if explicit_sm:
+        from ..models.losses import make_loss_parts
         from ..parallel.shardmap_step import make_shardmap_train_step
 
         if cfg.get("class_weight_pos", "auto") == "auto":
             cw = class_weights(data.y[data.train_mask])
         else:
             cw = np.array([1.0, float(cfg["class_weight_pos"])], np.float32)
-        sm_step = make_shardmap_train_step(
-            mesh, model, tx, (jnp.asarray(cw),), sm_sg
+        t_train = data.timestep[data.train_mask]
+        loss_parts = make_loss_parts(
+            cfg, cw, int(t_train.min()), int(t_train.max())
         )
+        sm_step = make_shardmap_train_step(mesh, model, tx, loss_parts, sm_sg)
 
         @jax.jit
         def _fuse(probs, loss, val_idx):
@@ -450,7 +440,19 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     epochs_run = 0
     profile_dir = cfg.get("profile_dir")
 
-    k_sync = int(cfg.get("epochs_per_sync", 1) or 1)
+    # epochs_per_sync: 'auto' (default) runs the K-epoch device-side scan
+    # with K=8 on TPU — decisions are proven identical to the serial loop
+    # (tests/test_train.py::test_epochs_per_sync_scan_matches_serial), and
+    # the per-epoch device->host sync otherwise bounds the epoch rate
+    # (~30 ms through a relayed TPU; docs/PERF_NOTES.md round 3). On
+    # CPU/debug backends the sync is cheap and the serial loop's per-epoch
+    # logging is worth more, so auto stays serial there. An integer pins K
+    # explicitly; 1 forces the serial loop.
+    k_cfg = cfg.get("epochs_per_sync", "auto")
+    if k_cfg in (None, "auto"):
+        k_sync = 8 if jax.default_backend() == "tpu" else 1
+    else:
+        k_sync = int(k_cfg) or 1
     if k_sync > 1:
         # ---- K-epoch device-side scan (one host sync per K epochs) ----
         # The per-epoch device->host sync costs ~30 ms through a relayed
