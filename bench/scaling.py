@@ -46,7 +46,7 @@ def _build(nodes: int, mesh_devices: int):
 
     from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
     from elliptic_gnn_tpu.graph.transform import symmetrize_edges
-    from elliptic_gnn_tpu.models.losses import class_weights
+    from elliptic_gnn_tpu.models.losses import class_weights, make_loss_parts
     from elliptic_gnn_tpu.train.train_gnn import build_train_state
 
     cfg = {
@@ -90,7 +90,9 @@ def _run_size(n: int, steps: int, built):
     p = jax.device_put(params, rep)
     s = jax.device_put(state, rep)
     o = jax.device_put(opt_state, rep)
-    step = make_shardmap_train_step(mesh, model, tx, (cw,), sg)
+    step = make_shardmap_train_step(
+        mesh, model, tx, make_loss_parts({}, cw, 0, 1), sg
+    )
 
     rng = jax.random.key(0)
     p1, s1, o1, loss, probs = step(p, s, o, rng, x, y, ts, tm, rm, sg)

@@ -41,7 +41,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..kernels.bsda import BsdaGraph
-from ..models.losses import cross_entropy_per_sample
 from .mesh import NODE_AXIS
 
 @partial(
@@ -580,13 +579,16 @@ def _einsum_local_spmm(sg: ShardedBsda, xc: jnp.ndarray,
     return out
 
 
-def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
+def make_shardmap_train_step(mesh: Mesh, model, tx, loss_parts: Tuple,
                              sg: ShardedBsda):
     """Build the explicit-collective train step.
 
-    loss_fn_cfg: (class_weights jnp [2],) — the step computes the masked,
-    class-weighted CE with explicit psum reductions (global mean over train
-    rows across chips).
+    loss_parts: (loss_vec_fn, penalty_fn) from losses.make_loss_parts —
+    ANY reference loss (weighted CE, focal, time-weighted, + time-embed
+    L2) composes here, because each is a per-sample vector whose masked
+    mean reduces with explicit psums (global numerator/denominator over
+    train rows across chips) plus a penalty on the replicated params added
+    after the reduction — identical math to the single-device step.
     Returns step(params, state, opt_state, rng, x, y, ts, tmask, row_mask,
     sg) -> (params, state, opt_state, loss, probs) with x/y/ts/tmask/
     row_mask row-sharded on the `nodes` axis and probs the post-update eval
@@ -597,7 +599,7 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
     """
     import optax
 
-    (cw,) = loss_fn_cfg
+    loss_vec_fn, penalty_fn = loss_parts
     axis = sg.axis_name
     p_rep = P()
     p_row = P(NODE_AXIS)
@@ -622,10 +624,10 @@ def make_shardmap_train_step(mesh: Mesh, model, tx, loss_fn_cfg: Tuple,
                 p, state, x, sg_loc, ts, training=True, rng=rng,
                 axis_name=axis, row_mask=row_mask,
             )
-            vec = cross_entropy_per_sample(logits, y.astype(jnp.int32), cw)
+            vec = loss_vec_fn(logits, y.astype(jnp.int32), ts)
             num = jax.lax.psum((vec * tmask).sum(), axis)
             den = jax.lax.psum(tmask.sum(), axis)
-            return num / jnp.maximum(den, 1.0), new_state
+            return num / jnp.maximum(den, 1.0) + penalty_fn(p), new_state
 
         (loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
         # with vma (replication) tracking, AD inserts the gradient psum at

@@ -231,23 +231,36 @@ def test_trainer_shardmap_config(tmp_path):
     assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
 
 
-def test_shardmap_rejects_unsupported_loss(tmp_path):
+def test_shardmap_full_loss_surface_matches_single_device(tmp_path):
+    """The explicit shard_map path composes with EVERY reference loss —
+    focal + linear time weighting + learned-time-embedding L2 at once
+    (reference train_gnn.py:136-183 composes any loss with any training
+    mode) — and matches the single-device run. The per-sample loss vector
+    and the replicated parameter penalty are shared with the single-device
+    factory (losses.make_loss_parts); the shard_map step psums the masked
+    numerator/denominator."""
     from elliptic_gnn_tpu.graph import build_graph
     from elliptic_gnn_tpu.train import train_gnn
-    import pytest as _pytest
 
     processed = str(tmp_path / "p")
     build_graph.main({
         "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
-        "synthetic": True, "synthetic_nodes": 800,
+        "synthetic": True, "synthetic_nodes": 1500,
         "processed_dir": processed, "data_dir": str(tmp_path / "r"),
     })
-    cfg = {
+    base = {
         "seed": 0, "processed_dir": processed,
-        "output_root": str(tmp_path / "o"), "run_name": "smf",
-        "arch": "sage", "hidden_dim": 8, "layers": 2, "dropout": 0.0,
-        "lr": 0.01, "max_epochs": 2, "patience": 2,
-        "mesh_devices": 8, "aggregation": "shard_map", "focal_loss": True,
+        "output_root": str(tmp_path / "o"), "arch": "sage_resbn",
+        "hidden_dim": 16, "layers": 2, "dropout": 0.0, "lr": 0.01,
+        "weight_decay": 0.0, "max_epochs": 5, "patience": 5,
+        "time_embed_dim": 4, "time_embed_type": "learned",
+        "max_timestep": 10, "symmetrize_edges": True,
+        "calibrate_temperature": False,
+        "focal_loss": True, "focal_gamma": 2.0,
+        "time_loss_weighting": "linear", "time_embed_l2": 1e-3,
     }
-    with _pytest.raises(ValueError, match="shard_map"):
-        train_gnn.main(cfg)
+    m1 = train_gnn.main(dict(base, run_name="smf1"))
+    m8 = train_gnn.main(dict(
+        base, run_name="smf8", mesh_devices=8, aggregation="shard_map"))
+    assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
+    assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3

@@ -8,7 +8,11 @@ import pytest
 
 from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
 from elliptic_gnn_tpu.graph.transform import symmetrize_edges
-from elliptic_gnn_tpu.models.losses import class_weights, cross_entropy_per_sample
+from elliptic_gnn_tpu.models.losses import (
+    class_weights,
+    cross_entropy_per_sample,
+    make_loss_parts,
+)
 from elliptic_gnn_tpu.parallel.mesh import make_mesh, NODE_AXIS
 from elliptic_gnn_tpu.parallel.shardmap_step import (
     make_shardmap_train_step,
@@ -84,7 +88,9 @@ def test_shardmap_step_matches_single_device(use_pallas):
     # ---- shard_map step ----
     mesh = make_mesh(n_dev)
     sg = partition_bsda(gops_plain, n_dev, use_pallas=use_pallas)
-    step = make_shardmap_train_step(mesh, model, tx, (cw,), sg)
+    step = make_shardmap_train_step(
+        mesh, model, tx, make_loss_parts({}, cw, 0, 1), sg
+    )
 
     row = NamedSharding(mesh, P(NODE_AXIS))
     row2 = NamedSharding(mesh, P(NODE_AXIS, None))
