@@ -20,8 +20,10 @@ real cache residency, not timing error).
 Timing notes: this TPU is reached through a relay whose dispatch acks are
 asynchronous — plain block_until_ready loop timing is unreliable. SpMM is
 timed with chained-scan differential timing fenced by readbacks
-(bench/timing.py); values above the physical roofline are capped and the
-raw value reported in detail. The end-to-end epoch time is measured inside
+(bench/timing.py); draws faster than the PHYSICAL floor (bytes the kernel
+actually ships — bit-packed planes — at spec bandwidth) are relay
+glitches and discarded, and the headline is capped at that floor with the
+raw draws reported in detail. The end-to-end epoch time is measured inside
 the real training loop via per-epoch logger timestamps (median of epoch
 deltas — robust to the relay's per-call compile noise), and includes the
 per-epoch device->host sync for early stopping. Diagnostics go to stderr;
@@ -83,11 +85,21 @@ def measured_stream_gbps() -> float:
     return 2 * n * 128 * 4 / dt / 1e9
 
 
-def bsda_traffic_bytes(g, feat: int, x_itemsize: int) -> int:
+def bsda_traffic_bytes(g, feat: int, x_itemsize: int,
+                       physical: bool = False) -> int:
     """Unavoidable HBM bytes for one BSDA aggregation pass with the given
     encoding: A-table once, features once, output once, scale vectors,
-    residual tables."""
-    a_bytes = int(np.prod(g.a.shape)) * g.a.dtype.itemsize
+    residual tables.
+
+    physical=False counts the LOGICAL int8 A-table (the round-to-round
+    roofline model, comparable across rounds regardless of packing);
+    physical=True counts the bytes the kernel actually ships — the
+    bit-packed A planes when present — which is the hard floor no valid
+    measurement can beat (used to reject non-physical relay draws)."""
+    if physical and g.a_packed is not None:
+        a_bytes = int(np.prod(g.a_packed.shape)) * g.a_packed.dtype.itemsize
+    else:
+        a_bytes = int(np.prod(g.a.shape)) * g.a.dtype.itemsize
     n_rows = g.num_chunks * g.chunk
     x_bytes = n_rows * feat * x_itemsize
     out_bytes = n_rows * feat * x_itemsize
@@ -170,40 +182,85 @@ def main() -> None:
     x_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     x = jnp.asarray(xp).astype(x_dtype)
 
-    # ---- SpMM: chained-scan differential timing (min of 3 full passes;
-    # the relay adds one-sided run-to-run noise of a few % — enough to
-    # flip the marginal 70%-of-roofline verdict, so the headline number
-    # takes the envelope) ----
-    pallas_draws = [
-        differential_time(lambda c, gg: pallas_bsda_spmm(gg, c), x, g)[0]
-        for _ in range(3)
-    ]
+    # ---- SpMM: chained-scan differential timing, packed-vs-unpacked
+    # same-process A/B (VERDICT r3 directive 1). The bit-packed and
+    # unpacked kernels are measured INTERLEAVED in this process so relay
+    # drift hits both equally and the packing delta is a real A/B, not a
+    # cross-process comparison. Draws below the PHYSICAL floor — the bytes
+    # the kernel actually ships (packed planes) at spec HBM bandwidth —
+    # are relay queue hiccups and are discarded; a variant whose draws are
+    # all non-physical is re-measured once and then marked failed rather
+    # than min'd over (a discarded draw must never become the headline). ----
+    import dataclasses as _dc
+
     bw_spec = hbm_bandwidth_gbps()
     bw_stream = measured_stream_gbps()
-    traffic = bsda_traffic_bytes(g, HIDDEN, np.dtype(x_dtype).itemsize)
+    isz = np.dtype(x_dtype).itemsize
+    traffic = bsda_traffic_bytes(g, HIDDEN, isz)  # logical int8 model
     roofline_dt = traffic / (bw_spec * 1e9)
-    # the relay occasionally returns a negative/zero differential slope
-    # (a queue hiccup between the small and big chained runs); such draws
-    # are physically impossible — the bit-packed kernel can at most shave
-    # the A-table stream 4x below the logical-traffic roofline — and must
-    # be DISCARDED, not min'd over and silently capped (that would report
-    # the cap as the measurement). Keep draws above half the roofline.
-    floor_dt = 0.5 * roofline_dt
-    valid_draws = [dt for dt in pallas_draws if dt >= floor_dt]
-    if len(valid_draws) < len(pallas_draws):
-        log(f"[bench] discarded {len(pallas_draws) - len(valid_draws)} "
-            f"non-physical SpMM draw(s) < {floor_dt*1e3:.3f} ms")
-    dt_pallas = min(valid_draws) if valid_draws else min(pallas_draws)
+    variants = {"packed": g}
+    if g.a_packed is not None:
+        variants["unpacked"] = _dc.replace(g, a_packed=None, a_pack=1)
+    floors = {
+        name: bsda_traffic_bytes(gg, HIDDEN, isz, physical=True)
+        / (bw_spec * 1e9)
+        for name, gg in variants.items()
+    }
+    draws = {name: [] for name in variants}
+    for _rep in range(3):
+        for name, gg in variants.items():
+            draws[name].append(differential_time(
+                lambda c, gg: pallas_bsda_spmm(gg, c), x, gg
+            )[0])
+    valid = {
+        name: [dt for dt in ds if dt >= floors[name]]
+        for name, ds in draws.items()
+    }
+    for name in variants:
+        if len(valid[name]) < len(draws[name]):
+            log(f"[bench] discarded "
+                f"{len(draws[name]) - len(valid[name])} non-physical "
+                f"{name} draw(s) < {floors[name]*1e3:.3f} ms")
+        if not valid[name]:  # one re-measure before declaring failure
+            redraw = [differential_time(
+                lambda c, gg: pallas_bsda_spmm(gg, c), x, variants[name]
+            )[0] for _ in range(2)]
+            draws[name].extend(redraw)
+            valid[name] = [dt for dt in redraw if dt >= floors[name]]
+            log(f"[bench] re-measured {name}: "
+                f"{[f'{d*1e3:.3f}' for d in redraw]} ms")
+    dt_packed = min(valid["packed"]) if valid["packed"] else None
+    dt_unpacked = (
+        min(valid["unpacked"]) if valid.get("unpacked") else None
+    )
+    dt_pallas = dt_packed if dt_packed is not None else dt_unpacked
+    pallas_variant = "packed" if dt_packed is not None else "unpacked"
     dt_xla, _ = differential_time(lambda c, gg: B.bsda_spmm(gg, c), x, g)
-    dt_best = min(dt_pallas, dt_xla)
-    path = "pallas_ring" if dt_pallas <= dt_xla else "xla_einsum"
-    capped = dt_best < roofline_dt
-    dt_eff = max(dt_best, roofline_dt)
+    if dt_pallas is None:
+        log("[bench] ALL pallas draws non-physical; falling back to XLA "
+            "for the headline")
+        dt_best, path = dt_xla, "xla_einsum"
+        floor_best = roofline_dt
+    elif dt_pallas <= dt_xla:
+        dt_best, path = dt_pallas, "pallas_ring"
+        floor_best = floors[pallas_variant]
+    else:
+        dt_best, path = dt_xla, "xla_einsum"
+        floor_best = roofline_dt
+    # the headline is capped at the winning variant's PHYSICAL floor (not
+    # the logical roofline: a packed kernel legitimately streams fewer
+    # bytes than the logical int8 model and may beat its roofline — that
+    # is the optimization, not a timing error)
+    capped = dt_best < floor_best
+    dt_eff = max(dt_best, floor_best)
     edges_per_s = e / dt_eff
     target = ROOFLINE_TARGET_FRACTION * (e / roofline_dt)
-    log(f"[bench] SpMM pallas {dt_pallas*1e3:.3f} ms | xla {dt_xla*1e3:.3f} ms"
-        f" -> best {dt_best*1e3:.3f} ms ({path})")
-    log(f"[bench] traffic model {traffic/1e6:.0f} MB, roofline(spec "
+    log(f"[bench] SpMM packed "
+        f"{'-' if dt_packed is None else f'{dt_packed*1e3:.3f}'} ms | "
+        f"unpacked {'-' if dt_unpacked is None else f'{dt_unpacked*1e3:.3f}'}"
+        f" ms | xla {dt_xla*1e3:.3f} ms -> best {dt_best*1e3:.3f} ms ({path})")
+    log(f"[bench] traffic model {traffic/1e6:.0f} MB logical "
+        f"(physical floor {floor_best*1e3:.3f} ms), roofline(spec "
         f"{bw_spec:.0f} GB/s) {roofline_dt*1e3:.3f} ms, measured stream "
         f"{bw_stream:.0f} GB/s; capped={capped} -> {edges_per_s/1e9:.3f} Ge/s")
 
@@ -219,6 +276,51 @@ def main() -> None:
     x_e = jnp.asarray(xp[np.argsort(rk)][: data.num_nodes])
     dt_ell, _ = differential_time(lambda c, gg: ell_spmm(gg, c), x_e, g_e)
     log(f"[bench] ELL SpMM: {dt_ell*1e3:.3f} ms ({e/dt_ell/1e9:.3f} Ge/s)")
+
+    # ---- explicit shard_map aggregation, mesh=1 on this chip (VERDICT r3
+    # directive 3: a driver-tracked stage, so the halo-path aggregation
+    # cost and any regression land in BENCH_r0N rather than RESULTS
+    # prose). Mesh=1 exercises the full machinery — halo ppermutes,
+    # ext-shaped per-shard kernel tables, width-bucketed residual — with
+    # zero-distance communication; it is the only mesh this single-chip
+    # environment can run for real. Best-effort stage. ----
+    dt_sm = None
+    sm_error = None
+    try:
+        from functools import partial as _partial
+
+        from jax import shard_map as _shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from elliptic_gnn_tpu.parallel.mesh import NODE_AXIS, make_mesh
+        from elliptic_gnn_tpu.parallel.shardmap_step import (
+            partition_bsda, sharded_bsda_spmm, sharded_specs,
+        )
+
+        mesh1 = make_mesh(1)
+        sg1 = partition_bsda(g, 1)
+        sg1_specs = sharded_specs(sg1)
+
+        @_partial(
+            _shard_map, mesh=mesh1,
+            in_specs=(_P(NODE_AXIS, None), sg1_specs),
+            out_specs=_P(NODE_AXIS, None), check_vma=True,
+        )
+        def _sm_agg(x_loc, sg_loc):
+            return sharded_bsda_spmm(sg_loc, x_loc)
+
+        x_sm = jax.device_put(
+            x, NamedSharding(mesh1, _P(NODE_AXIS, None))
+        )
+        dt_sm, _ = differential_time(
+            lambda c, ss: _sm_agg(c, ss), x_sm, sg1, n_small=2, n_big=12,
+            repeats=2,
+        )
+        log(f"[bench] shard_map aggregation (mesh=1, halo machinery + "
+            f"per-shard kernel): {dt_sm*1e3:.3f} ms")
+    except Exception as exc:  # pragma: no cover - hardware-dependent
+        sm_error = f"{type(exc).__name__}: {exc}"
+        log(f"[bench] shard_map stage failed (continuing): {exc}")
 
     # ---- GAT 2-layer forward (packed flash pipeline; VERDICT r1 target
     # <= 8 ms at Elliptic scale). Best-effort: a failure here must not
@@ -322,28 +424,33 @@ def main() -> None:
         data_t, model, gops, params, state, tx, opt_state, loss_fn = (
             build_train_state(cfg, data, 42)
         )
-        # serial pipelined loop: one device->host AP sync per epoch (the
-        # relay's ~30 ms readback latency bounds this mode)
+        # serial pipelined loop (explicit epochs_per_sync: 1): one
+        # device->host AP sync per epoch — the relay's ~30 ms readback
+        # latency bounds this mode; kept as a comparison row
+        cfg_serial = dict(cfg, epochs_per_sync=1)
         tl = _TimingLogger()
         _, _, best_val, _ = _train_loop_fullbatch(
-            cfg, "/tmp", data_t, model, gops, params, state, tx, opt_state,
-            loss_fn, tl,
+            cfg_serial, "/tmp", data_t, model, gops, params, state, tx,
+            opt_state, loss_fn, tl,
         )
         epoch_s_serial = tl.epoch_seconds()
         log(f"[bench] train epoch serial (SAGE-ResBN 64x3, full-batch, "
             f"incl. per-epoch host AP sync): {epoch_s_serial*1e3:.1f} ms "
             f"(best_val={best_val:.4f})")
-        # K-epoch device-side scan (epochs_per_sync): early stopping +
-        # best tracking on device, one host sync per 8 epochs
-        cfg_k = dict(cfg, epochs_per_sync=8, max_epochs=40)
+        # DEFAULT dispatch (epochs_per_sync: auto -> K=8 device-side scan
+        # on TPU since round 4): early stopping + best tracking on device,
+        # one host sync per 8 epochs. This is what a stock champion config
+        # runs, and the headline train_epoch_ms.
+        cfg_k = dict(cfg, max_epochs=40)
         tl = _TimingLogger()
         _, _, best_val_k, _ = _train_loop_fullbatch(
             cfg_k, "/tmp", data_t, model, gops, params, state, tx,
             opt_state, loss_fn, tl,
         )
         epoch_s = tl.epoch_seconds(skip=8)
-        log(f"[bench] train epoch scanned (epochs_per_sync=8, device-side "
-            f"early stop): {epoch_s*1e3:.1f} ms (best_val={best_val_k:.4f})")
+        log(f"[bench] train epoch DEFAULT dispatch (epochs_per_sync auto, "
+            f"device-side early stop): {epoch_s*1e3:.1f} ms "
+            f"(best_val={best_val_k:.4f})")
     except Exception as exc:  # pragma: no cover - hardware-dependent
         epoch_error = f"{type(exc).__name__}: {exc}"
         log(f"[bench] epoch stage failed (continuing): {exc}")
@@ -355,20 +462,39 @@ def main() -> None:
         "vs_baseline": float(edges_per_s / target),
         "detail": {
             "spmm_ms_raw": dt_best * 1e3,
-            "spmm_ms_pallas": dt_pallas * 1e3,
-            # relay noise is one-sided: the min/median spread across the 3
-            # draws bounds how much a single bad draw could move the
-            # headline (self-describing noise, VERDICT r2 "What's weak")
-            "spmm_ms_pallas_draws": [d * 1e3 for d in pallas_draws],
-            "spmm_ms_pallas_median": float(np.median(pallas_draws)) * 1e3,
+            # same-process packed-vs-unpacked A/B (VERDICT r3 directive 1):
+            # interleaved draws, per-variant physical floors; None = every
+            # draw of that variant was a non-physical relay glitch
+            "spmm_ms_packed": (
+                None if dt_packed is None else dt_packed * 1e3
+            ),
+            "spmm_ms_unpacked": (
+                None if dt_unpacked is None else dt_unpacked * 1e3
+            ),
+            "spmm_packed_speedup": (
+                None if (dt_packed is None or dt_unpacked is None)
+                else float(dt_unpacked / dt_packed)
+            ),
+            # relay noise: full draw lists (incl. discarded) + physical
+            # floors are self-describing (VERDICT r2/r3 "What's weak")
+            "spmm_ms_draws": {
+                name: [d * 1e3 for d in ds] for name, ds in draws.items()
+            },
+            "spmm_ms_physical_floor": {
+                name: f * 1e3 for name, f in floors.items()
+            },
             "spmm_ms_xla": dt_xla * 1e3,
             "spmm_path": path,
             "spmm_ms_roofline_spec": roofline_dt * 1e3,
-            "timing_capped_at_roofline": bool(capped),
+            "timing_capped_at_physical_floor": bool(capped),
             "traffic_model_mb": traffic / 1e6,
             "hbm_gbps_spec": bw_spec,
             "hbm_gbps_measured_stream": bw_stream,
             "ell_spmm_ms": dt_ell * 1e3,
+            "shardmap_agg_ms": (
+                f"failed: {sm_error}" if sm_error is not None
+                else None if dt_sm is None else dt_sm * 1e3
+            ),
             # explicit failure markers: a silent None is how a perf
             # regression hides (VERDICT r2 "What's weak")
             "gat_forward_ms": (
