@@ -412,6 +412,49 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
     )
 
 
+def shard_slice(sg: ShardedBsda, d: int) -> ShardedBsda:
+    """Device d's tables as leading-axis-1 views — exactly what shard_map
+    delivers to shard d. Lets the per-shard computation (and the real
+    Mosaic kernel binary it contains) be driven OUTSIDE shard_map, e.g. to
+    validate every shard's kernel tables on a single chip
+    (tools/verify_shard_kernels.py)."""
+    return jax.tree.map(lambda a: a[d: d + 1], sg)
+
+
+def shard_local_aggregate(sg: ShardedBsda, x_ext: jnp.ndarray,
+                          out_dtype=None) -> jnp.ndarray:
+    """One shard's full local aggregation given its halo-extended input
+    rows x_ext [(B_loc + 2H) * C, F]: banded dense kernel (Pallas on TPU)
+    + width-bucketed residual spill. Returns the shard's local rows
+    [B_loc * C, F]. `sg` holds the shard's leading-axis-1 table views
+    (from shard_map splitting or `shard_slice`)."""
+    if out_dtype is None:
+        out_dtype = x_ext.dtype
+    if sg.use_pallas:
+        out = _pallas_local_spmm(sg, x_ext)
+    else:
+        hc = sg.halo_chunks * sg.chunk
+        out = _einsum_local_spmm(sg, x_ext[hc: x_ext.shape[0] - hc], x_ext)
+
+    # local residual: sources from the halo-extended rows (true weights).
+    # Width-bucketed gathers + static merge permutation + ONE unique+sorted
+    # scatter-add (the bucket structure keeps the gather proportional to
+    # spill edges; the permutation restores sorted-destination order)
+    outs = [
+        jnp.einsum(
+            "rw,rwf->rf", w_k[0].astype(x_ext.dtype), x_ext[nbr_k[0]],
+            preferred_element_type=jnp.float32,
+        )
+        for nbr_k, w_k in zip(sg.res_nbr, sg.res_w)
+    ]
+    spill = jnp.concatenate(outs, axis=0)[sg.res_perm[0]]
+    out = out.at[sg.res_rows[0]].add(
+        spill.astype(out.dtype), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
+    )
+    return out.astype(out_dtype)
+
+
 def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
                       compute_dtype=None) -> jnp.ndarray:
     """Boundary-halo aggregation inside shard_map: ring-exchange the H
@@ -438,29 +481,7 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
     # partition time)
 
     x_ext = jnp.concatenate([halo_l, xc, halo_r], axis=0)
-
-    if sg.use_pallas:
-        out = _pallas_local_spmm(sg, x_ext)
-    else:
-        out = _einsum_local_spmm(sg, xc, x_ext)
-
-    # local residual: sources from the halo-extended rows (true weights).
-    # Width-bucketed gathers + static merge permutation + ONE unique+sorted
-    # scatter-add (the bucket structure keeps the gather proportional to
-    # spill edges; the permutation restores sorted-destination order)
-    outs = [
-        jnp.einsum(
-            "rw,rwf->rf", w_k[0].astype(x_ext.dtype), x_ext[nbr_k[0]],
-            preferred_element_type=jnp.float32,
-        )
-        for nbr_k, w_k in zip(sg.res_nbr, sg.res_w)
-    ]
-    spill = jnp.concatenate(outs, axis=0)[sg.res_perm[0]]
-    out = out.at[sg.res_rows[0]].add(
-        spill.astype(out.dtype), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
-    )
-    return out.astype(out_dtype)
+    return shard_local_aggregate(sg, x_ext, out_dtype=out_dtype)
 
 
 def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,197 @@
+"""Validate the per-shard banded Pallas kernel on n>1 partition tables
+using ONE real chip (VERDICT r3 "Next round" #4).
+
+Off-TPU the shard_map tests substitute the XLA einsum for the Mosaic
+kernel (parallel/shardmap_step.py::_pallas_local_spmm), so the n>1 tests
+prove the TABLES and the custom VJP but never execute the kernel binary
+on n>1 shard tables; on the real (single) chip only mesh=1 had run. This
+tool closes that gap without N chips: it builds the n-device
+`partition_bsda` tables, then — on the one chip — runs each shard's
+ext-shaped Pallas kernel with its halo inputs assembled host-side
+(exactly the rows the ring ppermute would deliver), assembles the n
+shard outputs, and compares result AND input-cotangent (the custom-VJP
+transpose-table kernel) against the single-device banded kernel on the
+same chip. This proves every shard's kernel compiles under Mosaic and is
+numerically exact on its real tables — the one thing the CPU einsum
+substitution cannot prove. The reference's aggregation kernels run
+identically under any device placement (/root/reference/src/models/gnn.py:8);
+this certifies ours do too.
+
+Usage (repo root):
+    python tools/verify_shard_kernels.py                  # Elliptic scale
+    python tools/verify_shard_kernels.py --nodes 20000 --n-dev 4
+
+Writes SHARD_KERNEL_CERT.json (per-shard max|diff|, forward + VJP, both
+f32 and the production bf16 input dtype).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import elliptic_gnn_tpu  # noqa: E402,F401  (applies EGNN_PLATFORM override)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def build_partitioned(num_nodes: int, n_dev: int, seed: int = 0):
+    """Canonical bench-graph build: synthetic Elliptic-shaped graph,
+    BFS renumber, int8 factored BSDA (sage mean), chunk-padded to the
+    mesh, partitioned with ext-shaped kernel tables."""
+    from elliptic_gnn_tpu.graph import make_temporal_masks, synthetic
+    from elliptic_gnn_tpu.graph.transform import symmetrize_edges
+    from elliptic_gnn_tpu.kernels import bsda as B
+    from elliptic_gnn_tpu.kernels.bsda import pad_bsda_chunks
+    from elliptic_gnn_tpu.parallel.shardmap_step import partition_bsda
+
+    data = synthetic.generate(
+        num_nodes=num_nodes, num_features=166, num_timesteps=49,
+        avg_degree=234_355 / 203_769, seed=seed,
+    )
+    data = make_temporal_masks(data, 34, 43)
+    data = symmetrize_edges(data)
+    rank = B.bfs_order(data.edge_index, data.num_nodes, data.timestep)
+    data = data.renumber(rank)
+    # transpose=True: the single-device reference gradient routes through
+    # the transposed-encoding kernel (custom VJP), exactly as the trainer's
+    # bsda_pallas path builds it
+    g = B.build_bsda_for_kind(
+        data.edge_index, data.num_nodes, "sage", depth=3, a_dtype="int8",
+        transpose=True,
+    )
+    g = pad_bsda_chunks(g, n_dev)
+    sg = partition_bsda(g, n_dev)  # use_pallas auto: real kernel on TPU
+    return data, g, sg
+
+
+def verify_shard_kernels(g, sg, feat: int = 128, x_dtype=jnp.float32,
+                         seed: int = 0) -> dict:
+    """Run every shard's kernel (fwd + custom-VJP bwd) on this chip and
+    compare the assembled result/cotangent against the single-device
+    kernel. Returns a dict of per-shard and assembled max-abs-diffs."""
+    from elliptic_gnn_tpu.kernels.pallas_bsda import pallas_bsda_spmm
+    from elliptic_gnn_tpu.parallel.shardmap_step import (
+        shard_local_aggregate, shard_slice,
+    )
+
+    n_dev = sg.n_dev
+    c, h = sg.chunk, sg.halo_chunks
+    b_loc = sg.a.shape[1]
+    n_loc = b_loc * c
+    n_rows = g.num_chunks * g.chunk
+    hc = h * c
+
+    rng = np.random.default_rng(seed)
+    x_np = rng.standard_normal((n_rows, feat)).astype(np.float32)
+    x = jnp.asarray(x_np).astype(x_dtype)
+    w_np = rng.standard_normal((feat,)).astype(np.float32)
+    w = jnp.asarray(w_np).astype(jnp.float32)
+
+    # ---- single-device reference on the SAME chip/kernel ----
+    @jax.jit
+    def ref_fwd(xx, gg):
+        return pallas_bsda_spmm(gg, xx)
+
+    @jax.jit
+    def ref_grad(xx, gg, ww):
+        return jax.grad(
+            lambda q: (pallas_bsda_spmm(gg, q).astype(jnp.float32) * ww)
+            .sum()
+        )(xx)
+
+    out_ref = np.asarray(ref_fwd(x, g), np.float32)
+    grad_ref = np.asarray(ref_grad(x, g, w), np.float32)
+
+    # ---- per-shard: halo inputs assembled host-side, kernel on chip ----
+    @jax.jit
+    def shard_fwd(x_ext, sg_d):
+        return shard_local_aggregate(sg_d, x_ext)
+
+    @jax.jit
+    def shard_grad(x_ext, sg_d, ww):
+        return jax.grad(
+            lambda q: (shard_local_aggregate(sg_d, q).astype(jnp.float32)
+                       * ww).sum()
+        )(x_ext)
+
+    out_asm = np.zeros_like(out_ref)
+    grad_asm = np.zeros((n_rows, feat), np.float32)
+    per_shard = []
+    x_all = np.asarray(x, np.float32)
+    for d in range(n_dev):
+        sg_d = shard_slice(sg, d)
+        lo, hi = d * n_loc - hc, (d + 1) * n_loc + hc
+        x_ext_np = np.zeros((n_loc + 2 * hc, feat), np.float32)
+        src_lo, src_hi = max(lo, 0), min(hi, n_rows)
+        x_ext_np[src_lo - lo: src_hi - lo] = x_all[src_lo:src_hi]
+        x_ext = jnp.asarray(x_ext_np).astype(x_dtype)
+
+        out_d = np.asarray(shard_fwd(x_ext, sg_d), np.float32)
+        out_asm[d * n_loc: (d + 1) * n_loc] = out_d
+        fwd_diff = float(
+            np.abs(out_d - out_ref[d * n_loc: (d + 1) * n_loc]).max()
+        )
+
+        g_ext = np.asarray(shard_grad(x_ext, sg_d, w), np.float32)
+        grad_asm[src_lo:src_hi] += g_ext[src_lo - lo: src_hi - lo]
+        per_shard.append({"shard": d, "fwd_max_abs_diff": fwd_diff})
+
+    scale = float(np.abs(out_ref).max()) or 1.0
+    gscale = float(np.abs(grad_ref).max()) or 1.0
+    return {
+        "n_dev": n_dev,
+        "x_dtype": np.dtype(x_dtype).name,
+        "feat": feat,
+        "halo_chunks": h,
+        "b_ext_pad": sg.b_ext_pad,
+        "use_pallas_tables": bool(sg.use_pallas),
+        "backend": jax.default_backend(),
+        "per_shard": per_shard,
+        "fwd_max_abs_diff": float(np.abs(out_asm - out_ref).max()),
+        "fwd_max_rel_diff": float(np.abs(out_asm - out_ref).max() / scale),
+        "vjp_max_abs_diff": float(np.abs(grad_asm - grad_ref).max()),
+        "vjp_max_rel_diff": float(np.abs(grad_asm - grad_ref).max() / gscale),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=203_769)
+    ap.add_argument("--n-dev", type=int, default=8)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--out", type=str, default="SHARD_KERNEL_CERT.json")
+    args = ap.parse_args()
+
+    print(f"[SHARDCERT] backend={jax.default_backend()} "
+          f"nodes={args.nodes} n_dev={args.n_dev}")
+    data, g, sg = build_partitioned(args.nodes, args.n_dev)
+    report = {"num_nodes": data.num_nodes, "num_edges": data.num_edges,
+              "runs": []}
+    ok = True
+    for dt, tol in ((jnp.float32, 3e-4), (jnp.bfloat16, 3e-2)):
+        r = verify_shard_kernels(g, sg, feat=args.feat, x_dtype=dt)
+        # tolerance is RELATIVE to the output magnitude: shard and
+        # single-device kernels reduce in different orders
+        r["tol_rel"] = tol
+        r["pass"] = bool(r["fwd_max_rel_diff"] <= tol
+                         and r["vjp_max_rel_diff"] <= tol)
+        ok = ok and r["pass"]
+        print(f"[SHARDCERT] dtype={r['x_dtype']}: fwd rel "
+              f"{r['fwd_max_rel_diff']:.2e}, vjp rel "
+              f"{r['vjp_max_rel_diff']:.2e} -> "
+              f"{'PASS' if r['pass'] else 'FAIL'}")
+        report["runs"].append(r)
+    report["all_pass"] = ok
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[SHARDCERT] wrote {args.out} (all_pass={ok})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
