@@ -38,6 +38,7 @@ def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
     """GAT attention dispatch: dense chunk-pair attention for BsdaGraph
     (flash-style Pallas kernel on the forward-only eval path; manual
     closed-form backward via fused_vjp on the training path),
+    explicit halo-exchange attention for ShardedBsda (inside shard_map),
     masked-row-softmax ELL otherwise."""
     from .bsda import BsdaGraph
     from .bsda_gat import bsda_gat_aggregate
@@ -46,5 +47,11 @@ def gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope=0.2,
         return bsda_gat_aggregate(
             g, x_proj, alpha_src, alpha_dst, negative_slope,
             use_flash=use_flash, fused_vjp=fused_vjp,
+        )
+    from ..parallel.shardmap_step import ShardedBsda, sharded_gat_attend
+
+    if isinstance(g, ShardedBsda):
+        return sharded_gat_attend(
+            g, x_proj, alpha_src, alpha_dst, negative_slope
         )
     return ell_gat_aggregate(g, x_proj, alpha_src, alpha_dst, negative_slope)

@@ -45,9 +45,9 @@ from .mesh import NODE_AXIS
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "src_local", "res_nbr", "res_w", "res_rows",
-                 "res_perm", "dst_scale", "src_scale_ext", "a_ext",
-                 "src_ext", "a_t", "src_t", "ds_kern", "ss_kern",
+    data_fields=["a", "src_local", "res_nbr", "res_w", "res_dst",
+                 "res_rows", "res_perm", "dst_scale", "src_scale_ext",
+                 "a_ext", "src_ext", "a_t", "src_t", "ds_kern", "ss_kern",
                  "a_ext_p", "a_t_p"],
     meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
                  "halo_chunks", "n_dev", "use_pallas", "b_ext_pad",
@@ -104,6 +104,12 @@ class ShardedBsda:
     src_local: jnp.ndarray
     res_nbr: tuple
     res_w: tuple
+    # res_dst: tuple of [n_dev, R_k] int32 — LOCAL destination row of each
+    # bucket row (pad -> n_loc). The linear spmm never needs it (the merge
+    # permutation + unique-row scatter suffice), but per-destination
+    # softmax attention (sharded_gat_attend) must read a_dst at the
+    # destination BEFORE its within-row reduction.
+    res_dst: tuple
     res_rows: jnp.ndarray
     res_perm: jnp.ndarray
     dst_scale: Optional[jnp.ndarray]
@@ -236,6 +242,8 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
                for k in range(n_buckets)]
     res_w = [np.zeros((n_dev, r_k_max[k], widths[k]), np.float32)
              for k in range(n_buckets)]
+    res_dst = [np.full((n_dev, r_k_max[k]), n_loc, np.int32)
+               for k in range(n_buckets)]
     res_rows = np.full((n_dev, r_u_max), n_loc, np.int32)  # pad -> dropped
     res_perm = np.zeros((n_dev, r_u_max), np.int32)
     for d, (sel, rows_u, inv, counts) in enumerate(per_dev):
@@ -253,10 +261,12 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
             cnt = int(sel_e.sum())
             res_nbr[k][d, i, :cnt] = nbr_d[sel_e]
             res_w[k][d, i, :cnt] = w_d[sel_e]
+            res_dst[k][d, i] = int(rows_u[ri] - d * n_loc)
             res_perm[d, ri] = offsets[k] + i
         res_rows[d, : rows_u.size] = (rows_u - d * n_loc).astype(np.int32)
     res_nbr = tuple(jnp.asarray(t) for t in res_nbr)
     res_w = tuple(jnp.asarray(t) for t in res_w)
+    res_dst = tuple(jnp.asarray(t) for t in res_dst)
 
     def split_scale(s, ext: bool):
         if s is None:
@@ -359,6 +369,7 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         src_local=jnp.asarray(src_local.astype(np.int32)),
         res_nbr=res_nbr,
         res_w=res_w,
+        res_dst=res_dst,
         res_rows=jnp.asarray(res_rows),
         res_perm=jnp.asarray(res_perm),
         dst_scale=split_scale(g.dst_scale, ext=False),
@@ -397,6 +408,7 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         src_local=P(NODE_AXIS, None, None),
         res_nbr=tuple(P(NODE_AXIS, None, None) for _ in sg.res_nbr),
         res_w=tuple(P(NODE_AXIS, None, None) for _ in sg.res_w),
+        res_dst=tuple(P(NODE_AXIS, None) for _ in sg.res_dst),
         res_rows=P(NODE_AXIS, None),
         res_perm=P(NODE_AXIS, None),
         dst_scale=opt(sg.dst_scale, P(NODE_AXIS, None)),
@@ -482,6 +494,151 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
 
     x_ext = jnp.concatenate([halo_l, xc, halo_r], axis=0)
     return shard_local_aggregate(sg, x_ext, out_dtype=out_dtype)
+
+
+def sharded_gat_attend(sg: ShardedBsda, x_proj: jnp.ndarray,
+                       alpha_src: jnp.ndarray, alpha_dst: jnp.ndarray,
+                       negative_slope: float = 0.2) -> jnp.ndarray:
+    """GAT segment-softmax attention inside shard_map (VERDICT r3 #8: the
+    explicit halo path, model-family agnostic).
+
+    The per-destination softmax is LOCAL once the destination's sources
+    are present: every source of a local destination chunk lies within the
+    halo window (partition_bsda window-validates dense slots AND residual
+    sources), so the same boundary-only exchange that powers the linear
+    aggregation powers attention — the exchanged payload is
+    [ x_proj | a_src ] rows (a_dst is only read at destinations, which are
+    local). Per shard this runs the XLA dense chunk-pair formulation of
+    kernels/bsda_gat.py (scores masked by the multiplicity pattern, fused
+    max/exp, ones-column einsum) on the halo-extended tables, plus the
+    width-bucketed residual-spill partials merged with a streaming
+    softmax. shard_map AD differentiates straight through (ppermute
+    transposes itself), so every loss composes.
+
+    x_proj [N_loc, H, Ch], alpha_src/alpha_dst [N_loc, H] (the shard's
+    slice of the globally chunk-padded arrays; padded rows carry zeros —
+    harmless, the multiplicity mask excludes them). Returns [N_loc, H, Ch].
+    `sg` must be built from a 'gat'-kind BsdaGraph (self-looped edge set,
+    unit multiplicities; reference src/models/gnn.py:56-76 semantics).
+    """
+    hc_rows = sg.halo_chunks * sg.chunk
+    axis = sg.axis_name
+    n_dev = sg.n_dev
+    n_loc, h, ch = x_proj.shape
+    hch = h * ch
+    b_loc = sg.a.shape[1]
+    c = sg.chunk
+    neg_inf = -1e30
+
+    # ---- boundary-only halo exchange of [ x_proj | a_src ] ----
+    payload = jnp.concatenate(
+        [x_proj.reshape(n_loc, hch).astype(jnp.float32),
+         alpha_src.astype(jnp.float32)], axis=1,
+    )
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    halo_l = jax.lax.ppermute(payload[-hc_rows:], axis, fwd)
+    halo_r = jax.lax.ppermute(payload[:hc_rows], axis, bwd)
+    pay_ext = jnp.concatenate([halo_l, payload, halo_r], axis=0)
+    xp_ext = pay_ext[:, :hch].reshape(-1, h, ch)
+    asrc_ext = pay_ext[:, hch:]                       # [N_ext, H]
+    adst = alpha_dst.astype(jnp.float32)              # [N_loc, H]
+
+    mult = sg.a[0]                                    # [B_loc, D, C, C]
+    src = sg.src_local[0]                             # [B_loc, D] ext chunks
+    valid = mult > 0
+    adst3 = adst.reshape(b_loc, c, h)
+    asrc_ext3 = asrc_ext.reshape(-1, c, h)
+    xp_ext3 = xp_ext.reshape(-1, c, h, ch)
+
+    ms, ss, accs = [], [], []
+    for head in range(h):
+        asrc_chunks = asrc_ext3[:, :, head][src]      # [B_loc, D, C]
+        adst_h = adst3[:, :, head]                    # [B_loc, C]
+
+        def scores():
+            return jnp.where(
+                valid,
+                jax.nn.leaky_relu(
+                    asrc_chunks[:, :, None, :] + adst_h[:, None, :, None],
+                    negative_slope,
+                ),
+                neg_inf,
+            )
+
+        m_h = jnp.max(scores(), axis=(1, 3))          # [B_loc, C]
+        e = (jnp.exp(scores() - m_h[:, None, :, None])
+             * mult.astype(jnp.float32))
+        e_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        e = e.astype(e_dtype)
+        xp_h = xp_ext3[:, :, head, :].astype(e_dtype)[src]  # [B_loc,D,C,Ch]
+        xp_e = jnp.concatenate(
+            [xp_h, jnp.ones(xp_h.shape[:-1] + (1,), xp_h.dtype)], axis=-1
+        )
+        acc_ext = jnp.einsum(
+            "bdij,bdjf->bif", e, xp_e, preferred_element_type=jnp.float32
+        )
+        # fence heads so XLA keeps each head's score pipeline fused
+        # (bsda_gat.py measured ~1.3 GB of transients without it)
+        m_h, s_h, acc_h = jax.lax.optimization_barrier(
+            (m_h, acc_ext[..., -1], acc_ext[..., :-1])
+        )
+        ms.append(m_h.reshape(-1))
+        ss.append(s_h.reshape(-1))
+        accs.append(acc_h.reshape(-1, ch))
+    m = jnp.stack(ms, axis=1)                         # [N_loc, H]
+    s = jnp.stack(ss, axis=1)
+    acc = jnp.stack(accs, axis=1)                     # [N_loc, H, Ch]
+
+    # ---- residual-spill attention partials (width-bucketed) ----
+    if sg.res_rows.shape[1] > 0 and len(sg.res_nbr) > 0:
+        m2p, s2p, acc2p = [], [], []
+        for nbr_k, w_k, dst_k in zip(sg.res_nbr, sg.res_w, sg.res_dst):
+            nbr = nbr_k[0]                            # [R_k, W_k] ext ids
+            w = w_k[0]                                # [R_k, W_k] mult
+            dst = jnp.clip(dst_k[0], 0, n_loc - 1)    # pad rows clamp
+            sc = jax.nn.leaky_relu(
+                asrc_ext[nbr] + adst[dst][:, None, :], negative_slope
+            )                                         # [R_k, W_k, H]
+            sc = jnp.where((w > 0)[:, :, None], sc, neg_inf)
+            m_l = jnp.max(sc, axis=1)                 # [R_k, H]
+            e_l = jnp.exp(sc - m_l[:, None, :]) * w[:, :, None]
+            s_l = e_l.sum(axis=1)
+            acc_l = jnp.einsum(
+                "rwh,rwhf->rhf", e_l, xp_ext[nbr],
+                preferred_element_type=jnp.float32,
+            )
+            m2p.append(m_l)
+            s2p.append(s_l)
+            acc2p.append(acc_l)
+        m2 = jnp.concatenate(m2p)[sg.res_perm[0]]     # sorted-dest order
+        s2 = jnp.concatenate(s2p)[sg.res_perm[0]]
+        acc2 = jnp.concatenate(acc2p)[sg.res_perm[0]]
+
+        rows = sg.res_rows[0]                         # unique sorted local
+        rows_c = jnp.clip(rows, 0, n_loc - 1)
+        cur_m = m[rows_c]
+        cur_s = s[rows_c]
+        cur_acc = acc[rows_c]
+        # padded entries (rows == n_loc) must not alter the merge source;
+        # give them a NEG_INF spill partial so the merge is the identity
+        live = (rows < n_loc)[:, None]
+        m2 = jnp.where(live, m2, neg_inf)
+        s2 = jnp.where(live, s2, 0.0)
+        acc2 = jnp.where(live[..., None], acc2, 0.0)
+        big = jnp.maximum(cur_m, m2)
+        w1 = jnp.exp(cur_m - big)
+        w2 = jnp.exp(m2 - big)
+        s_m = cur_s * w1 + s2 * w2
+        acc_m = cur_acc * w1[..., None] + acc2 * w2[..., None]
+        s = s.at[rows].set(s_m, mode="drop", indices_are_sorted=True,
+                           unique_indices=True)
+        acc = acc.at[rows].set(acc_m, mode="drop", indices_are_sorted=True,
+                               unique_indices=True)
+
+    return (acc / jnp.maximum(s, 1e-16)[..., None]).astype(x_proj.dtype)
 
 
 def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:

@@ -129,16 +129,6 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
             f"Unknown aggregation {mode!r}; expected one of "
             "auto/bsda/bsda_pallas/ell/shard_map"
         )
-    if mode == "shard_map" and kind == "gat":
-        # the explicit halo path covers linear aggregations only; GAT's
-        # per-destination softmax needs the dense-chunk attention kernels,
-        # which shard via GSPMD (reference gnn.py:56-76 trains GAT wherever
-        # SAGE does — use the default aggregation with mesh_devices: N)
-        raise ValueError(
-            "aggregation: shard_map does not support arch: gat — GAT "
-            "shards via GSPMD: drop the aggregation key (auto) and keep "
-            "mesh_devices: N"
-        )
     return str(mode)
 
 
@@ -289,11 +279,14 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
             gops = pad_bsda_chunks(gops, n_mesh)
             # route the per-shard dense aggregation through the banded
             # Pallas kernel (default on TPU): N-chip training inherits the
-            # single-chip kernel win instead of falling back to the einsum
+            # single-chip kernel win instead of falling back to the einsum.
+            # GAT's chunk-pair attention runs the XLA formulation per shard
+            # (sharded_gat_attend) — no linear-kernel tables needed.
             sm_pk = cfg.get("shard_map_pallas", "auto")
+            kind_sm = MODEL_GRAPH_KIND[cfg["arch"]]
             use_pk = (
-                jax.default_backend() == "tpu" if sm_pk == "auto"
-                else bool(sm_pk)
+                jax.default_backend() == "tpu" and kind_sm != "gat"
+                if sm_pk == "auto" else bool(sm_pk)
             )
             sm_sg = partition_bsda(gops, n_mesh, use_pallas=use_pk)
             x, y_all, t_all, train_mask_f, row_mask, _, n_pad = (

@@ -167,13 +167,35 @@ def test_sharded_bsda_step_matches_single_device(arch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=3e-4)
 
 
-def test_shardmap_rejects_gat():
-    """arch: gat + aggregation: shard_map must be a clear config error, not
-    an uncaught dispatch crash (GAT shards via GSPMD)."""
-    from elliptic_gnn_tpu.train.train_gnn import _pick_aggregation
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_gat_shardmap_matches_single_device(tmp_path):
+    """arch: gat + aggregation: shard_map trains end-to-end on the
+    explicit halo path (round 4: sharded_gat_attend — halo exchange of the
+    [x_proj | a_src] payload + per-shard chunk-pair attention + bucketed
+    spill softmax merge) and matches the single-device run. Closes the
+    round-3 config-error triage: the halo path is model-family agnostic
+    (SURVEY §2.3)."""
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
 
-    with pytest.raises(ValueError, match="GSPMD"):
-        _pick_aggregation({"aggregation": "shard_map"}, None, "gat")
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 1500,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "arch": "gat",
+        "hidden_dim": 16, "heads": 4, "layers": 2, "dropout": 0.0,
+        "lr": 0.01, "weight_decay": 0.0, "max_epochs": 5, "patience": 5,
+        "symmetrize_edges": True, "calibrate_temperature": False,
+    }
+    m1 = train_gnn.main(dict(base, run_name="gat1"))
+    m8 = train_gnn.main(dict(
+        base, run_name="gat8", mesh_devices=8, aggregation="shard_map"))
+    assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
+    assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

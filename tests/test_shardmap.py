@@ -204,3 +204,91 @@ def test_shard_kernel_verifier_small():
     assert r["n_dev"] == 4
     assert r["fwd_max_rel_diff"] < 3e-4, r
     assert r["vjp_max_rel_diff"] < 3e-4, r
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gat_attend_matches_single_device():
+    """sharded_gat_attend under shard_map == bsda_gat_aggregate single
+    device — forward AND gradients (w.r.t. x_proj, a_src, a_dst) through
+    plain shard_map AD (ppermute transposes itself). Covers the dense
+    chunk-pair part, the width-bucketed spill softmax partials (res_dst
+    tables), and the streaming merge."""
+    from functools import partial
+
+    from elliptic_gnn_tpu.kernels import bsda as B
+    from elliptic_gnn_tpu.kernels.bsda_gat import bsda_gat_aggregate
+    from elliptic_gnn_tpu.parallel.shardmap_step import (
+        partition_bsda, sharded_gat_attend, sharded_specs,
+    )
+    from jax import shard_map
+
+    rng = np.random.default_rng(7)
+    data0 = synthetic.generate(num_nodes=3000, num_timesteps=10, seed=7)
+    data0 = symmetrize_edges(data0)
+    rank = B.bfs_order(data0.edge_index, data0.num_nodes, data0.timestep)
+    data0 = data0.renumber(rank)
+    g = B.build_bsda_for_kind(
+        data0.edge_index, data0.num_nodes, "gat", depth=2,
+        a_dtype="float32", transpose=False,
+    )
+    n_dev = 8
+    if g.num_chunks % n_dev:
+        pytest.skip("chunks don't tile the mesh for this size")
+    n_tgt = g.num_chunks * g.chunk
+    h, ch = 4, 8
+
+    xp = jnp.asarray(np.pad(
+        rng.standard_normal((data0.num_nodes, h, ch)).astype(np.float32),
+        ((0, n_tgt - data0.num_nodes), (0, 0), (0, 0)),
+    ))
+    asrc = jnp.asarray(np.pad(
+        rng.standard_normal((data0.num_nodes, h)).astype(np.float32),
+        ((0, n_tgt - data0.num_nodes), (0, 0)),
+    ))
+    adst = jnp.asarray(np.pad(
+        rng.standard_normal((data0.num_nodes, h)).astype(np.float32),
+        ((0, n_tgt - data0.num_nodes), (0, 0)),
+    ))
+
+    ref = np.asarray(bsda_gat_aggregate(g, xp, asrc, adst, 0.2))
+
+    mesh = make_mesh(n_dev)
+    sg = partition_bsda(g, n_dev, use_pallas=False)
+    sg_specs = sharded_specs(sg)
+    row3 = P(NODE_AXIS, None, None)
+    row2 = P(NODE_AXIS, None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(row3, row2, row2, sg_specs),
+        out_specs=row3, check_vma=True,
+    )
+    def attend(xp_l, asrc_l, adst_l, sg_loc):
+        return sharded_gat_attend(sg_loc, xp_l, asrc_l, adst_l, 0.2)
+
+    from jax.sharding import NamedSharding
+
+    args = (
+        jax.device_put(xp, NamedSharding(mesh, row3)),
+        jax.device_put(asrc, NamedSharding(mesh, row2)),
+        jax.device_put(adst, NamedSharding(mesh, row2)),
+    )
+    out = np.asarray(attend(*args, sg))
+    np.testing.assert_allclose(
+        out[: data0.num_nodes], ref[: data0.num_nodes], rtol=2e-4, atol=2e-5
+    )
+
+    w = jnp.asarray(rng.standard_normal((h, ch)).astype(np.float32))
+
+    def loss_sm(xp_, as_, ad_):
+        return (attend(xp_, as_, ad_, sg) * w).sum()
+
+    def loss_ref(xp_, as_, ad_):
+        return (bsda_gat_aggregate(g, xp_, as_, ad_, 0.2) * w).sum()
+
+    g_sm = jax.grad(loss_sm, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xp, asrc, adst)
+    for a, b in zip(g_sm, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
