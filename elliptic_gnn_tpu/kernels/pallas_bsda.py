@@ -320,6 +320,23 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
         return _bsda_spmm_impl(g, x, None)
 
+    # Residual spill FIRST, with a zero token serializing its gathers
+    # before the Mosaic kernel: with no data dependency XLA schedules the
+    # spill's gathers/scatter concurrently with the pallas custom call,
+    # and that combination can crash the TPU worker ("kernel fault" —
+    # deterministic on the n>1 shard tables where it was bisected,
+    # parallel/shardmap_step.py::_pallas_local_aggregate; applied here
+    # too because the module shape is identical). Costs only the overlap
+    # of a ~spill-edge-sized einsum.
+    spill = None
+    if g.residual is not None:
+        from .bsda import _residual_spmm
+
+        spill = _residual_spmm(g.residual, x[:n0, :f0], None)
+        # optimization_barrier, not a 0*x token: the algebraic simplifier
+        # can fold a multiplicative token away and drop the ordering
+        x, spill = jax.lax.optimization_barrier((x, spill))
+
     # Mosaic DMA slices must be 128-lane aligned: pad features to the lane
     # tile (hidden_dim 64 models). XLA fuses the zero-pad into the producer.
     ft = FEAT_TILE
@@ -379,10 +396,7 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
                            has_ss=g.src_scale is not None)
 
     out = out.reshape(-1, f)[:n0, :f0]
-    if g.residual is not None:
-        from .bsda import _residual_spmm
-
-        spill = _residual_spmm(g.residual, x[:n0, :f0], None)
+    if spill is not None:
         out = out.at[g.residual_rows].add(
             spill.astype(out.dtype), unique_indices=True,
             indices_are_sorted=True,

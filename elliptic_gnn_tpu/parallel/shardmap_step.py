@@ -46,7 +46,8 @@ from .mesh import NODE_AXIS
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["a", "src_local", "res_nbr", "res_w", "res_dst",
-                 "res_rows", "res_perm", "dst_scale", "src_scale_ext",
+                 "res_rows", "res_perm", "rest_nbr", "rest_w", "rest_rows",
+                 "rest_perm", "dst_scale", "src_scale_ext",
                  "a_ext", "src_ext", "a_t", "src_t", "ds_kern", "ss_kern",
                  "a_ext_p", "a_t_p"],
     meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
@@ -76,7 +77,10 @@ class ShardedBsda:
                 sorted-by-destination residual row
     res_rows:   [n_dev, R_u] int32 — unique LOCAL destination rows, sorted
                 ascending: one unique+sorted scatter-add applies the whole
-                spill (padded rows point out of range; scatter mode='drop')
+                spill (padded rows hold DISTINCT ascending out-of-range
+                values n_loc + t, dropped by scatter mode='drop' — a
+                repeated pad value would violate unique_indices and is UB
+                on the TPU scatter fast path)
     dst_scale:  [n_dev, N_loc] f32 or None — factored row scales
     src_scale_ext: [n_dev, N_ext] f32 or None — factored column scales over
                 the halo-extended rows (precomputed host-side: scales are
@@ -120,6 +124,15 @@ class ShardedBsda:
     axis_name: str
     halo_chunks: int
     n_dev: int
+    # transpose-residual tables (same edges grouped by EXT SOURCE row):
+    # the spill backward runs as bucketed gathers/einsums + one
+    # unique+sorted scatter — structurally identical to the forward
+    # (rest_nbr holds LOCAL destination rows; rest_rows unique sorted ext
+    # sources, distinct ascending out-of-range pads)
+    rest_nbr: tuple = ()
+    rest_w: tuple = ()
+    rest_rows: Optional[jnp.ndarray] = None
+    rest_perm: Optional[jnp.ndarray] = None
     a_ext: Optional[jnp.ndarray] = None
     src_ext: Optional[jnp.ndarray] = None
     a_t: Optional[jnp.ndarray] = None
@@ -135,6 +148,85 @@ class ShardedBsda:
     a_ext_p: Optional[jnp.ndarray] = None
     a_t_p: Optional[jnp.ndarray] = None
     a_pack: int = 1
+
+
+def _bucket_group(n_dev: int, dev_of: np.ndarray, keys: np.ndarray,
+                  gath: np.ndarray, w: np.ndarray, pad_base: int):
+    """Group per-device edge lists by `keys` (the row each edge's output
+    lands on, already device-local) into pow2-width-bucketed tables.
+
+    Returns (nbr tuple of [n_dev, R_k, W_k] int32 gathered ids,
+             w tuple of [n_dev, R_k, W_k] f32 (0 = padding),
+             dst tuple of [n_dev, R_k] int32 key row per bucket row
+               (pad -> pad_base),
+             rows [n_dev, R_u] int32 unique keys sorted ascending — pads
+               hold DISTINCT ascending out-of-range values pad_base + t
+               (a repeated pad value would violate the scatter's
+               unique_indices contract: UB that crashes the TPU worker
+               when the scatter shares a module with a Mosaic kernel),
+             perm [n_dev, R_u] int32 concat position of the t-th sorted
+               row)."""
+    per_dev = []
+    for d in range(n_dev):
+        sel = dev_of == d
+        kk = keys[sel]
+        rows_u, inv = np.unique(kk, return_inverse=True)
+        counts = (np.bincount(inv, minlength=rows_u.size)
+                  if rows_u.size else np.zeros(0, np.int64))
+        per_dev.append((sel, rows_u, inv, counts))
+
+    width_set = {
+        int(2 ** np.ceil(np.log2(max(int(cnt), 1))))
+        for _, _, _, counts in per_dev for cnt in counts
+    }
+    widths = sorted(width_set) or [1]
+    n_buckets = len(widths)
+    b_idx_dev = []
+    r_k_max = [1] * n_buckets
+    r_u_max = 1
+    for _, rows_u, _, counts in per_dev:
+        b_idx = np.searchsorted(widths, np.maximum(counts, 1), side="left")
+        b_idx_dev.append(b_idx)
+        for k in range(n_buckets):
+            r_k_max[k] = max(r_k_max[k], int((b_idx == k).sum()))
+        r_u_max = max(r_u_max, rows_u.size)
+
+    offsets = np.concatenate([[0], np.cumsum(r_k_max)])
+    out_nbr = [np.zeros((n_dev, r_k_max[k], widths[k]), np.int32)
+               for k in range(n_buckets)]
+    out_w = [np.zeros((n_dev, r_k_max[k], widths[k]), np.float32)
+             for k in range(n_buckets)]
+    out_dst = [np.full((n_dev, r_k_max[k]), pad_base, np.int32)
+               for k in range(n_buckets)]
+    out_rows = np.tile(
+        np.arange(r_u_max, dtype=np.int32)[None, :], (n_dev, 1)
+    ) + pad_base
+    out_perm = np.zeros((n_dev, r_u_max), np.int32)
+    for d, (sel, rows_u, inv, counts) in enumerate(per_dev):
+        g_d = gath[sel]
+        w_d = w[sel]
+        b_idx = b_idx_dev[d]
+        pos_in_bucket = np.zeros(rows_u.size, np.int64)
+        for k in range(n_buckets):
+            in_k = np.nonzero(b_idx == k)[0]
+            pos_in_bucket[in_k] = np.arange(in_k.size)
+        for ri in range(rows_u.size):
+            sel_e = inv == ri
+            k = int(b_idx[ri])
+            i = int(pos_in_bucket[ri])
+            cnt = int(sel_e.sum())
+            out_nbr[k][d, i, :cnt] = g_d[sel_e]
+            out_w[k][d, i, :cnt] = w_d[sel_e]
+            out_dst[k][d, i] = int(rows_u[ri])
+            out_perm[d, ri] = offsets[k] + i
+        out_rows[d, : rows_u.size] = rows_u.astype(np.int32)
+    return (
+        tuple(jnp.asarray(t) for t in out_nbr),
+        tuple(jnp.asarray(t) for t in out_w),
+        tuple(jnp.asarray(t) for t in out_dst),
+        jnp.asarray(out_rows),
+        jnp.asarray(out_perm),
+    )
 
 
 def partition_bsda(g: BsdaGraph, n_dev: int,
@@ -211,62 +303,21 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
     # per-device residual: width-bucketed unique rows (pow2 widths, like
     # the single-device EllGraph residual) + a static merge permutation so
     # the step applies the whole spill with ONE unique+sorted scatter-add
-    per_dev = []
-    for d in range(n_dev):
-        sel = dev_of == d
-        dsts = e_dst[sel]
-        rows_u, inv = np.unique(dsts, return_inverse=True)
-        counts = (np.bincount(inv, minlength=rows_u.size)
-                  if rows_u.size else np.zeros(0, np.int64))
-        per_dev.append((sel, rows_u, inv, counts))
-
-    width_set = {
-        int(2 ** np.ceil(np.log2(max(int(cnt), 1))))
-        for _, _, _, counts in per_dev for cnt in counts
-    }
-    widths = sorted(width_set) or [1]
-    n_buckets = len(widths)
-    # bucket index per unique row (first width >= count) and padded sizes
-    b_idx_dev = []
-    r_k_max = [1] * n_buckets
-    r_u_max = 1
-    for _, rows_u, _, counts in per_dev:
-        b_idx = np.searchsorted(widths, np.maximum(counts, 1), side="left")
-        b_idx_dev.append(b_idx)
-        for k in range(n_buckets):
-            r_k_max[k] = max(r_k_max[k], int((b_idx == k).sum()))
-        r_u_max = max(r_u_max, rows_u.size)
-
-    offsets = np.concatenate([[0], np.cumsum(r_k_max)])
-    res_nbr = [np.zeros((n_dev, r_k_max[k], widths[k]), np.int32)
-               for k in range(n_buckets)]
-    res_w = [np.zeros((n_dev, r_k_max[k], widths[k]), np.float32)
-             for k in range(n_buckets)]
-    res_dst = [np.full((n_dev, r_k_max[k]), n_loc, np.int32)
-               for k in range(n_buckets)]
-    res_rows = np.full((n_dev, r_u_max), n_loc, np.int32)  # pad -> dropped
-    res_perm = np.zeros((n_dev, r_u_max), np.int32)
-    for d, (sel, rows_u, inv, counts) in enumerate(per_dev):
-        nbr_d = nbr_ext_all[sel]
-        w_d = e_w[sel]
-        b_idx = b_idx_dev[d]
-        pos_in_bucket = np.zeros(rows_u.size, np.int64)
-        for k in range(n_buckets):
-            in_k = np.nonzero(b_idx == k)[0]
-            pos_in_bucket[in_k] = np.arange(in_k.size)
-        for ri in range(rows_u.size):
-            sel_e = inv == ri
-            k = int(b_idx[ri])
-            i = int(pos_in_bucket[ri])
-            cnt = int(sel_e.sum())
-            res_nbr[k][d, i, :cnt] = nbr_d[sel_e]
-            res_w[k][d, i, :cnt] = w_d[sel_e]
-            res_dst[k][d, i] = int(rows_u[ri] - d * n_loc)
-            res_perm[d, ri] = offsets[k] + i
-        res_rows[d, : rows_u.size] = (rows_u - d * n_loc).astype(np.int32)
-    res_nbr = tuple(jnp.asarray(t) for t in res_nbr)
-    res_w = tuple(jnp.asarray(t) for t in res_w)
-    res_dst = tuple(jnp.asarray(t) for t in res_dst)
+    res_nbr, res_w, res_dst, res_rows, res_perm = _bucket_group(
+        n_dev, dev_of, e_dst - dev_of * n_loc, nbr_ext_all, e_w,
+        pad_base=n_loc,
+    )
+    # TRANSPOSE residual: the same edges grouped by their EXT SOURCE row
+    # (rows_t = unique sorted ext sources, gathered ids = LOCAL dest
+    # rows). The backward of the spill is then structurally IDENTICAL to
+    # the forward — width-bucketed gathers + einsums + one unique+sorted
+    # in-range/dropped scatter — instead of autodiff's repeated-index
+    # scatter-add, which (sharing a module with the Mosaic kernel)
+    # crashes the TPU worker (tools/verify_shard_kernels.py bisect).
+    rest_nbr, rest_w, _, rest_rows, rest_perm = _bucket_group(
+        n_dev, dev_of, nbr_ext_all, e_dst - dev_of * n_loc, e_w,
+        pad_base=n_ext,
+    )
 
     def split_scale(s, ext: bool):
         if s is None:
@@ -370,6 +421,10 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         res_nbr=res_nbr,
         res_w=res_w,
         res_dst=res_dst,
+        rest_nbr=rest_nbr,
+        rest_w=rest_w,
+        rest_rows=rest_rows,
+        rest_perm=rest_perm,
         res_rows=jnp.asarray(res_rows),
         res_perm=jnp.asarray(res_perm),
         dst_scale=split_scale(g.dst_scale, ext=False),
@@ -409,6 +464,10 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         res_nbr=tuple(P(NODE_AXIS, None, None) for _ in sg.res_nbr),
         res_w=tuple(P(NODE_AXIS, None, None) for _ in sg.res_w),
         res_dst=tuple(P(NODE_AXIS, None) for _ in sg.res_dst),
+        rest_nbr=tuple(P(NODE_AXIS, None, None) for _ in sg.rest_nbr),
+        rest_w=tuple(P(NODE_AXIS, None, None) for _ in sg.rest_w),
+        rest_rows=opt(sg.rest_rows, P(NODE_AXIS, None)),
+        rest_perm=opt(sg.rest_perm, P(NODE_AXIS, None)),
         res_rows=P(NODE_AXIS, None),
         res_perm=P(NODE_AXIS, None),
         dst_scale=opt(sg.dst_scale, P(NODE_AXIS, None)),
@@ -442,16 +501,36 @@ def shard_local_aggregate(sg: ShardedBsda, x_ext: jnp.ndarray,
     (from shard_map splitting or `shard_slice`)."""
     if out_dtype is None:
         out_dtype = x_ext.dtype
+
     if sg.use_pallas:
-        out = _pallas_local_spmm(sg, x_ext)
-    else:
-        hc = sg.halo_chunks * sg.chunk
-        out = _einsum_local_spmm(sg, x_ext[hc: x_ext.shape[0] - hc], x_ext)
+        # kernel + residual live inside ONE custom VJP with explicit
+        # serialization tokens (see _pallas_local_aggregate): with no data
+        # dependency XLA schedules the residual gathers/scatters
+        # concurrently with the Mosaic custom call, and that combination
+        # crashes the TPU worker on n>1 shard tables ("kernel fault" —
+        # deterministic, found and bisected by
+        # tools/verify_shard_kernels.py; gather-free and serialized
+        # modules both run clean, so this is a runtime scheduling
+        # interaction, not kernel logic)
+        return _pallas_local_aggregate(sg, x_ext).astype(out_dtype)
 
     # local residual: sources from the halo-extended rows (true weights).
     # Width-bucketed gathers + static merge permutation + ONE unique+sorted
     # scatter-add (the bucket structure keeps the gather proportional to
     # spill edges; the permutation restores sorted-destination order)
+    spill = _residual_spill(sg, x_ext)
+    hc = sg.halo_chunks * sg.chunk
+    out = _einsum_local_spmm(sg, x_ext[hc: x_ext.shape[0] - hc], x_ext)
+    out = out.at[sg.res_rows[0]].add(
+        spill.astype(out.dtype), mode="drop",
+        indices_are_sorted=True, unique_indices=True,
+    )
+    return out.astype(out_dtype)
+
+
+def _residual_spill(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
+    """Width-bucketed residual partial sums in sorted-destination order
+    [R_u, F] (rows sg.res_rows)."""
     outs = [
         jnp.einsum(
             "rw,rwf->rf", w_k[0].astype(x_ext.dtype), x_ext[nbr_k[0]],
@@ -459,12 +538,7 @@ def shard_local_aggregate(sg: ShardedBsda, x_ext: jnp.ndarray,
         )
         for nbr_k, w_k in zip(sg.res_nbr, sg.res_w)
     ]
-    spill = jnp.concatenate(outs, axis=0)[sg.res_perm[0]]
-    out = out.at[sg.res_rows[0]].add(
-        spill.astype(out.dtype), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
-    )
-    return out.astype(out_dtype)
+    return jnp.concatenate(outs, axis=0)[sg.res_perm[0]]
 
 
 def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
@@ -641,13 +715,25 @@ def sharded_gat_attend(sg: ShardedBsda, x_proj: jnp.ndarray,
     return (acc / jnp.maximum(s, 1e-16)[..., None]).astype(x_proj.dtype)
 
 
-def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
+def _pallas_local_aggregate(sg: ShardedBsda,
+                            x_ext: jnp.ndarray) -> jnp.ndarray:
     """Per-shard dense aggregation through the banded Pallas kernel on the
-    ext-shaped tables, with an exact custom-VJP backward on the
-    block-transpose tables (autodiff cannot see inside pallas_call; the
+    ext-shaped tables PLUS the residual spill, under one custom VJP.
+
+    Forward: residual einsum-gathers first, a zero token from their result
+    serializes them before the Mosaic kernel (ext tables, exact
+    block-transpose backward — autodiff cannot see inside pallas_call; the
     transposed encoding is also ~2x faster than the chunk scatter-add
-    autodiff would emit — same design as kernels/pallas_bsda.pallas_bsda_spmm
-    single-device)."""
+    autodiff would emit, same design as pallas_bsda.pallas_bsda_spmm),
+    then the unique+sorted spill scatter-add.
+
+    Backward: hand-written residual cotangent (gather ct at spill rows,
+    un-permute, per-bucket outer products, scatter-add into an ext-row
+    buffer) computed FIRST and token-serialized before the transpose
+    kernel, mirroring the forward. Both orderings exist because XLA
+    otherwise schedules the residual's gathers/scatters concurrently with
+    the pallas custom call, which crashes the TPU worker on n>1 shard
+    tables (bisected with tools/verify_shard_kernels.py)."""
     from ..kernels.bsda import BsdaGraph, _bsda_spmm_impl
     from ..kernels.pallas_bsda import _forward as _pallas_forward
 
@@ -664,9 +750,11 @@ def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
 
     c, h = sg.chunk, sg.halo_chunks
     b_loc = sg.a.shape[1]
+    n_loc = b_loc * c
     b_ext_pad = sg.b_ext_pad
     n_ext = x_ext.shape[0]  # (b_loc + 2h) * c
     pad_rows = b_ext_pad * c - n_ext
+    rows = sg.res_rows[0]
 
     def view(a_tab, src_tab, depth, ds, ss, a_p):
         return BsdaGraph(
@@ -689,33 +777,81 @@ def _pallas_local_spmm(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
                  None if sg.ds_kern is None else sg.ds_kern[0],
                  None if sg.a_t_p is None else sg.a_t_p[0])
 
+    def _run(xe):
+        spill = _residual_spill(sg, xe)
+        # serialization: the kernel input passes through an
+        # optimization_barrier together with the completed residual
+        # gathers, so XLA cannot schedule them concurrently with the
+        # custom call (a multiply-by-zero token is NOT safe here — XLA's
+        # algebraic simplifier can fold 0*x away and silently drop the
+        # ordering, which made the crash flaky rather than fixed)
+        xe_k, spill = jax.lax.optimization_barrier((xe, spill))
+        if pad_rows:
+            xe_k = jnp.concatenate(
+                [xe_k, jnp.zeros((pad_rows, xe.shape[1]), xe.dtype)], axis=0
+            )
+        out_ext = _forward(g_fwd, xe_k)
+        out = jax.lax.slice_in_dim(out_ext, h * c, h * c + n_loc)
+        return out.at[rows].add(
+            spill.astype(out.dtype), mode="drop",
+            indices_are_sorted=True, unique_indices=True,
+        )
+
     @jax.custom_vjp
-    def dense(xe):
+    def agg(xe):
         return _run(xe)
 
-    def _run(xe):
-        if pad_rows:
-            xe = jnp.concatenate(
-                [xe, jnp.zeros((pad_rows, xe.shape[1]), xe.dtype)], axis=0
-            )
-        out_ext = _forward(g_fwd, xe)
-        return jax.lax.slice_in_dim(out_ext, h * c, h * c + b_loc * c)
+    def agg_fwd(xe):
+        out = _run(xe)
+        # token residual: a slice of the forward output, barriered into
+        # the backward below. Under jax.grad the primal's pallas_call can
+        # remain in the module with its output otherwise UNUSED (custom
+        # calls are not DCE'd), leaving it unordered against the
+        # backward's gathers/scatters — the final unordered pair behind
+        # the flaky TPU worker crashes. The token chains
+        # fwd-kernel -> backward.
+        return out, out[:1, :1]
 
-    def dense_fwd(xe):
-        return _run(xe), None
-
-    def dense_bwd(_res, ct):
+    def agg_bwd(res, ct):
+        ct, _tok = jax.lax.optimization_barrier((ct, res))
         f = ct.shape[1]
+        # ---- residual backward via the TRANSPOSE-residual tables: the
+        # same bucketed-gather/einsum + one unique+sorted dropped-pad
+        # scatter structure as the forward (linear in ct, needs no saved
+        # values). d x_ext[j] = sum_{e: src=j} w_e * ct[dst_e]; rest_nbr
+        # holds local destination rows, padded entries carry w=0 so the
+        # clipped gather contributes nothing. ----
+        outs = [
+            jnp.einsum(
+                "rw,rwf->rf", w_k[0].astype(ct.dtype),
+                ct[jnp.clip(nbr_k[0], 0, n_loc - 1)],
+                preferred_element_type=jnp.float32,
+            )
+            for nbr_k, w_k in zip(sg.rest_nbr, sg.rest_w)
+        ]
+        d_sorted = jnp.concatenate(outs, axis=0)[sg.rest_perm[0]]
+        # ---- dense backward: transpose-table kernel. Empirical module
+        # discipline (13-step TPU bisect, tools/verify_shard_kernels.py):
+        # every gather/scatter must be ORDERED against the Mosaic call
+        # (barrier), and the scatter must land strictly AFTER the kernel
+        # — a scatter scheduled before or concurrent with a pallas_call
+        # crashes the TPU worker. So: gathers, barrier, kernel, scatter
+        # into the kernel result — the exact op order of the (stable)
+        # forward. ----
+        ct_k, d_sorted = jax.lax.optimization_barrier((ct, d_sorted))
         ctp = jnp.concatenate([
             jnp.zeros((h * c, f), ct.dtype),
-            ct,
-            jnp.zeros((b_ext_pad * c - (h * c + b_loc * c), f), ct.dtype),
+            ct_k,
+            jnp.zeros((b_ext_pad * c - (h * c + n_loc), f), ct.dtype),
         ], axis=0)
-        ct_ext = _forward(g_bwd, ctp)
-        return (jax.lax.slice_in_dim(ct_ext, 0, n_ext),)
+        ct_ext = jax.lax.slice_in_dim(_forward(g_bwd, ctp), 0, n_ext)
+        return (ct_ext.at[sg.rest_rows[0]].add(
+            d_sorted.astype(ct_ext.dtype), mode="drop",
+            indices_are_sorted=True, unique_indices=True,
+        ),)
 
-    dense.defvjp(dense_fwd, dense_bwd)
-    return dense(x_ext)
+    agg.defvjp(agg_fwd, agg_bwd)
+    return agg(x_ext)
 
 
 def _einsum_local_spmm(sg: ShardedBsda, xc: jnp.ndarray,

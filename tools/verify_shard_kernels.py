@@ -2,7 +2,7 @@
 using ONE real chip (VERDICT r3 "Next round" #4).
 
 Off-TPU the shard_map tests substitute the XLA einsum for the Mosaic
-kernel (parallel/shardmap_step.py::_pallas_local_spmm), so the n>1 tests
+kernel (parallel/shardmap_step.py::_pallas_local_aggregate), so the n>1 tests
 prove the TABLES and the custom VJP but never execute the kernel binary
 on n>1 shard tables; on the real (single) chip only mesh=1 had run. This
 tool closes that gap without N chips: it builds the n-device
@@ -159,6 +159,13 @@ def verify_shard_kernels(g, sg, feat: int = 128, x_dtype=jnp.float32,
     }
 
 
+import contextlib
+
+
+def _nullctx():
+    return contextlib.nullcontext()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=203_769)
@@ -173,8 +180,14 @@ def main() -> None:
     report = {"num_nodes": data.num_nodes, "num_edges": data.num_edges,
               "runs": []}
     ok = True
-    for dt, tol in ((jnp.float32, 3e-4), (jnp.bfloat16, 3e-2)):
-        r = verify_shard_kernels(g, sg, feat=args.feat, x_dtype=dt)
+    for dt, tol in ((jnp.float32, 3e-5), (jnp.bfloat16, 3e-2)):
+        # the f32 round pins matmul precision to true f32: JAX's default
+        # on TPU demotes f32 dot operands to bf16, and the shard/
+        # single-device reduction-order difference then reads as ~1e-3
+        # "error" that is demotion noise, not kernel mismatch
+        prec = "highest" if dt == jnp.float32 else None
+        with jax.default_matmul_precision(prec) if prec else _nullctx():
+            r = verify_shard_kernels(g, sg, feat=args.feat, x_dtype=dt)
         # tolerance is RELATIVE to the output magnitude: shard and
         # single-device kernels reduce in different orders
         r["tol_rel"] = tol
