@@ -312,12 +312,21 @@ def main() -> None:
         x_sm = jax.device_put(
             x, NamedSharding(mesh1, _P(NODE_AXIS, None))
         )
-        dt_sm, _ = differential_time(
+        sm_draws = [differential_time(
             lambda c, ss: _sm_agg(c, ss), x_sm, sg1, n_small=2, n_big=12,
             repeats=2,
-        )
-        log(f"[bench] shard_map aggregation (mesh=1, halo machinery + "
-            f"per-shard kernel): {dt_sm*1e3:.3f} ms")
+        )[0] for _ in range(2)]
+        # same physical floor as the packed kernel (identical tables);
+        # a faster draw is a relay glitch
+        sm_valid = [d for d in sm_draws if d >= floors["packed"]]
+        dt_sm = min(sm_valid) if sm_valid else None
+        if dt_sm is None:
+            sm_error = (f"all draws non-physical: "
+                        f"{[f'{d*1e3:.3f}' for d in sm_draws]} ms")
+            log(f"[bench] shard_map stage: {sm_error}")
+        else:
+            log(f"[bench] shard_map aggregation (mesh=1, halo machinery + "
+                f"per-shard kernel): {dt_sm*1e3:.3f} ms")
     except Exception as exc:  # pragma: no cover - hardware-dependent
         sm_error = f"{type(exc).__name__}: {exc}"
         log(f"[bench] shard_map stage failed (continuing): {exc}")
@@ -474,6 +483,17 @@ def main() -> None:
             "spmm_packed_speedup": (
                 None if (dt_packed is None or dt_unpacked is None)
                 else float(dt_unpacked / dt_packed)
+            ),
+            # drift-robust A/B: the draws are interleaved, so the
+            # per-round unpacked/packed ratio cancels monotone relay
+            # drift; median of ratios is the speedup of record
+            "spmm_packed_speedup_paired": (
+                None if (not valid["packed"] or "unpacked" not in draws)
+                else float(np.median([
+                    u / p for p, u in zip(draws["packed"],
+                                          draws["unpacked"])
+                    if p >= floors["packed"] and u >= floors["unpacked"]
+                ] or [np.nan]))
             ),
             # relay noise: full draw lists (incl. discarded) + physical
             # floors are self-describing (VERDICT r2/r3 "What's weak")

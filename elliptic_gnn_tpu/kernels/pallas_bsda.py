@@ -82,10 +82,19 @@ def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
     pack > 1: a_ref holds bit-packed planes ([G, ceil(D/pack), C, C]
     uint8, `pack` depth slots per byte — see bsda.pack_a_planes). The
     unpack is a shift+mask on the VPU per block, traded for a pack-x
-    smaller A-table HBM stream (the dominant stream of the aggregation)."""
+    smaller A-table HBM stream (the dominant stream of the aggregation).
+    The u8->i32 widening of each plane is hoisted out of the slot loop
+    (all `pack` slots share it); at depth 3 / pack 4 that removes 2 of 3
+    converts from the per-step VPU chain, which profiling shows sits on
+    the packed kernel's critical path (docs/PERF_NOTES.md round 4)."""
     bits = 8 // pack
     mask = (1 << bits) - 1
+    n_planes = -(-d // pack)
     for g_i in range(g_chunks):
+        planes = (
+            [a_ref[g_i, p].astype(jnp.int32) for p in range(n_planes)]
+            if pack > 1 else None
+        )
         acc = None
         for d_i in range(d):
             src = src_ref[base + g_i, d_i]
@@ -95,8 +104,9 @@ def _slot_compute(src_ref, a_ref, ds_ref, ss_ref, out_ref, read_chunk,
             if pack == 1:
                 a_blk = a_ref[g_i, d_i].astype(mxu)
             else:
-                u = a_ref[g_i, d_i // pack].astype(jnp.int32)
-                a_blk = ((u >> (bits * (d_i % pack))) & mask).astype(mxu)
+                u = planes[d_i // pack]
+                sh = bits * (d_i % pack)
+                a_blk = (((u >> sh) if sh else u) & mask).astype(mxu)
             part = jax.lax.dot(
                 a_blk, rhs,
                 preferred_element_type=jnp.float32,
@@ -320,22 +330,16 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
         return _bsda_spmm_impl(g, x, None)
 
-    # Residual spill FIRST, with a zero token serializing its gathers
-    # before the Mosaic kernel: with no data dependency XLA schedules the
-    # spill's gathers/scatter concurrently with the pallas custom call,
-    # and that combination can crash the TPU worker ("kernel fault" —
-    # deterministic on the n>1 shard tables where it was bisected,
-    # parallel/shardmap_step.py::_pallas_local_aggregate; applied here
-    # too because the module shape is identical). Costs only the overlap
-    # of a ~spill-edge-sized einsum.
-    spill = None
-    if g.residual is not None:
-        from .bsda import _residual_spmm
-
-        spill = _residual_spmm(g.residual, x[:n0, :f0], None)
-        # optimization_barrier, not a 0*x token: the algebraic simplifier
-        # can fold a multiplicative token away and drop the ordering
-        x, spill = jax.lax.optimization_barrier((x, spill))
+    # NB on module discipline: the n>1 SHARD path orders the residual's
+    # gathers/scatters against the Mosaic kernel with optimization_barrier
+    # (parallel/shardmap_step.py::_pallas_local_aggregate) because the
+    # unordered combination crashes the TPU worker on shard tables. The
+    # single-device module here has never exhibited the crash (Elliptic-
+    # scale production across four rounds + dedicated small-table
+    # bisects), and adding the barrier measurably serializes the whole
+    # epoch module (+13 ms/epoch: every kernel call became a schedule
+    # fence), so it stays barrier-free; the spill scatter already lands
+    # after the kernel by dataflow.
 
     # Mosaic DMA slices must be 128-lane aligned: pad features to the lane
     # tile (hidden_dim 64 models). XLA fuses the zero-pad into the producer.
@@ -396,7 +400,10 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
                            has_ss=g.src_scale is not None)
 
     out = out.reshape(-1, f)[:n0, :f0]
-    if spill is not None:
+    if g.residual is not None:
+        from .bsda import _residual_spmm
+
+        spill = _residual_spmm(g.residual, x[:n0, :f0], None)
         out = out.at[g.residual_rows].add(
             spill.astype(out.dtype), unique_indices=True,
             indices_are_sorted=True,
