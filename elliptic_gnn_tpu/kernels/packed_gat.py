@@ -43,17 +43,36 @@ from .pallas_gat import NEG_INF, flash_eligible, flash_gat_payload, pack_width
 def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
     """Merge the residual-spill attention partials into the packed kernel
     output (streaming-softmax merge of (m, s, acc) triples), all on gathered
-    spill rows only. Mirrors bsda_gat.py::_spill_part."""
+    spill rows only. Mirrors bsda_gat.py::_spill_part.
+
+    All payload reads happen through ONE fused gather: under autodiff each
+    separate gather transposes into its own full [N, pack] zero+scatter
+    buffer in the backward — with several width buckets plus the
+    destination-row gather that was ~4.3 ms of the 34.6 ms train step for
+    0.6% of the edges (round-4 attribution, docs/PERF_NOTES.md); a single
+    gather leaves a single scatter-transpose."""
     res = g.residual
     if res is None:
         return out
     hc = h * ch
     rows = g.residual_rows  # compact spill row -> node id
+    flat_parts = [jnp.reshape(nbr, (-1,)) for nbr in res.nbrs]
+    dst_parts = [rows[rws] for rws in res.rows]
+    sizes = [int(p.shape[0]) for p in flat_parts]
+    dsizes = [int(p.shape[0]) for p in dst_parts]
+    gathered = payload[jnp.concatenate(flat_parts + dst_parts)]
+    pay_ns, adst_rs = [], []
+    off = 0
+    for nbr, n in zip(res.nbrs, sizes):
+        pay_ns.append(gathered[off: off + n].reshape(
+            nbr.shape + (payload.shape[1],)))
+        off += n
+    for nd in dsizes:
+        adst_rs.append(gathered[off: off + nd, hc + h: hc + 2 * h])
+        off += nd
     m2p, s2p, accp = [], [], []
-    for nbr, w, rws in zip(res.nbrs, res.weights, res.rows):
-        pay_n = payload[nbr]                     # [R, W, pack] small gather
+    for pay_n, adst_r, w in zip(pay_ns, adst_rs, res.weights):
         asrc_n = pay_n[..., hc: hc + h]          # [R, W, H]
-        adst_r = payload[rows[rws]][:, hc + h: hc + 2 * h]  # [R, H]
         sc = asrc_n + adst_r[:, None, :]
         sc = jnp.where(sc >= 0, sc, sc * negative_slope)
         sc = jnp.where((w > 0)[:, :, None], sc, NEG_INF)
