@@ -72,6 +72,7 @@ def _run_size(n: int, steps: int, built):
     """One mesh size: returns (median step seconds, loss, halo stats)."""
     import jax
 
+    from elliptic_gnn_tpu.models.losses import make_loss_parts
     from elliptic_gnn_tpu.kernels.bsda import pad_bsda_chunks
     from elliptic_gnn_tpu.parallel import make_mesh, shard_graph_inputs
     from elliptic_gnn_tpu.parallel.mesh import replicated
