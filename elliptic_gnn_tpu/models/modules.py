@@ -14,8 +14,8 @@ kernels. Uniform interface:
 globally reduced when node rows are sharded (psum of sums/counts) — the
 multi-chip counterpart of torch's single-device BatchNorm1d.
 
-Semantic parity notes (verified by tests/test_models.py against dense numpy
-oracles):
+Semantic parity notes (verified by tests/test_torch_parity.py against the
+PyTorch/PyG reference):
   - GCNConv: self-loops appended, symmetric normalization with degrees
     counted on the destination column incl. self-loops, x @ W -> aggregate
     -> + bias (PyG gcn_norm convention).

@@ -444,6 +444,14 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
     k_cfg = cfg.get("epochs_per_sync", "auto")
     if k_cfg in (None, "auto"):
         k_sync = 8 if jax.default_backend() == "tpu" else 1
+        if profile_dir and k_sync > 1:
+            # jax.profiler trace capture brackets individual epochs, which
+            # only exist host-side in the serial loop — a K-epoch scan
+            # would silently capture nothing. Auto defers to profiling; an
+            # explicit integer K overrides (the user asked for the scan).
+            print("[PROFILE] profile_dir set: epochs_per_sync auto -> 1 "
+                  "(serial loop; pin an integer K to override)")
+            k_sync = 1
     else:
         k_sync = int(k_cfg) or 1
     if k_sync > 1:
