@@ -332,7 +332,7 @@ def _forward(g: BsdaGraph, x: jnp.ndarray) -> jnp.ndarray:
 
     # NB on module discipline: the n>1 SHARD path orders the residual's
     # gathers/scatters against the Mosaic kernel with optimization_barrier
-    # (parallel/shardmap_step.py::_pallas_local_aggregate) because the
+    # (parallel/shardmap_step.py::_pallas_split_aggregate) because the
     # unordered combination crashes the TPU worker on shard tables. The
     # single-device module here has never exhibited the crash (Elliptic-
     # scale production across four rounds + dedicated small-table

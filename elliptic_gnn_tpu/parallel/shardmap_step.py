@@ -14,10 +14,17 @@ node features over ICI ... overlapped with local SpMM"):
   - the halo exchange is two `lax.ppermute`s moving 2*H*C rows per chip —
     O(H*C*F) bytes over ICI instead of the O(N*F) full all_gather the
     round-1 implementation used (~200x less at Elliptic scale / 8 chips);
-  - the diagonal-slot einsum (slot 0 is always the own-chunk block) has no
-    communication dependency, so XLA's scheduler overlaps it with the
-    ppermutes; off-diagonal slots and the residual read the halo-extended
-    buffer;
+  - the halo exchange OVERLAPS the bulk of the local aggregation
+    (SURVEY §2.3: "overlapped with local SpMM"): the per-shard A-table is
+    split at partition time into a LOCAL part (every A-block whose source
+    chunk the shard owns — all blocks of interior destination chunks plus
+    the local blocks of boundary chunks) and a tiny HALO-FIXUP part (the
+    <= 2H boundary destination chunks' blocks with remote sources). The
+    local part runs the banded kernel on x_local with NO data dependency
+    on the ppermutes, so XLA schedules it while the halos fly; the fixup
+    (a [K_h, D_h, C, C] einsum over <= 2H chunks) and the residual spill
+    read the halo-extended buffer afterwards and scatter into the kernel
+    result;
   - BatchNorm statistics and the masked loss reduce with explicit `psum`s;
   - parameter gradients all-reduce automatically: shard_map's AD transposes
     parameter replication into `psum`, and each ppermute transposes into
@@ -48,8 +55,9 @@ from .mesh import NODE_AXIS
     data_fields=["a", "src_local", "res_nbr", "res_w", "res_dst",
                  "res_rows", "res_perm", "rest_nbr", "rest_w", "rest_rows",
                  "rest_perm", "dst_scale", "src_scale_ext",
-                 "a_ext", "src_ext", "a_t", "src_t", "ds_kern", "ss_kern",
-                 "a_ext_p", "a_t_p"],
+                 "a_loc", "src_loc", "hal_a", "hal_src", "hal_dst",
+                 "a_t", "src_t", "ds_kern", "ss_kern",
+                 "a_loc_p", "a_t_p"],
     meta_fields=["chunk", "depth", "num_chunks_global", "axis_name",
                  "halo_chunks", "n_dev", "use_pallas", "b_ext_pad",
                  "depth_t", "a_dtype_name", "a_pack"],
@@ -86,18 +94,32 @@ class ShardedBsda:
                 the halo-extended rows (precomputed host-side: scales are
                 static, so the halo needs no exchange for them)
 
-    Pallas-kernel tables (use_pallas; None on the einsum path). The banded
-    Pallas kernel (kernels/pallas_bsda.py) runs unmodified per shard on
-    "ext-shaped" views: destination chunks span the halo-extended range
-    [B_ext = B_loc + 2H, padded to the kernel group size b_ext_pad], halo
-    destination chunks carry zero A-blocks, and every source id is already
-    ext-local — which makes the encoding banded in ext coordinates with
-    max_chunk_dist = H. The backward runs the SAME kernel on the exact
-    block-transpose (a_t/src_t): for ext chunk j, a_t[j,s] = a[l,d]^T for
-    every (l,d) with src_local[l,d] == j, src_t[j,s] = l + H.
+    LOCAL/HALO split of the dense tables (always built — both the Pallas
+    and the einsum per-shard paths use it, round-5 overlap design): the
+    local part carries every A-block whose source chunk is shard-local
+    (halo-source blocks zeroed, sources re-based to LOCAL chunk coords,
+    zeroed slots self-pointing — still banded with max_chunk_dist = H), so
+    the bulk of the aggregation has NO data dependency on the halo
+    exchange and overlaps the ppermutes. The <= 2H boundary destination
+    chunks' halo-source blocks live in the compact fixup tables and are
+    applied as one [K_h, D_h, C, C] einsum over the halo-extended buffer
+    after the exchange lands.
 
-    a_ext:   [n_dev, b_ext_pad, D, C, C]
-    src_ext: [n_dev, b_ext_pad, D]
+    a_loc:   [n_dev, B_loc, D, C, C]  (halo-source blocks zeroed)
+    src_loc: [n_dev, B_loc, D] LOCAL source-chunk ids (self for zeroed)
+    hal_a:   [n_dev, K_h, D_h, C, C] f32 halo-source blocks (0 = padding)
+    hal_src: [n_dev, K_h, D_h] EXT source-chunk ids (0 on padding)
+    hal_dst: [n_dev, K_h] LOCAL destination chunks, unique sorted
+             ascending; pads hold DISTINCT ascending out-of-range values
+             B_loc + t (scatter mode='drop')
+
+    Pallas backward tables (use_pallas; None on the einsum path, whose
+    backward is plain shard_map AD). The backward runs the SAME banded
+    kernel (kernels/pallas_bsda.py) on the exact block-transpose over the
+    halo-extended grid [b_ext_pad = B_loc + 2H padded to the kernel group
+    size]: for ext chunk j, a_t[j,s] = a[l,d]^T for every (l,d) with
+    src_local[l,d] == j, src_t[j,s] = l + H.
+
     a_t:     [n_dev, b_ext_pad, DT, C, C]
     src_t:   [n_dev, b_ext_pad, DT]
     ds_kern: [n_dev, b_ext_pad*C] dst scales embedded at ext offset (or None)
@@ -133,8 +155,11 @@ class ShardedBsda:
     rest_w: tuple = ()
     rest_rows: Optional[jnp.ndarray] = None
     rest_perm: Optional[jnp.ndarray] = None
-    a_ext: Optional[jnp.ndarray] = None
-    src_ext: Optional[jnp.ndarray] = None
+    a_loc: Optional[jnp.ndarray] = None
+    src_loc: Optional[jnp.ndarray] = None
+    hal_a: Optional[jnp.ndarray] = None
+    hal_src: Optional[jnp.ndarray] = None
+    hal_dst: Optional[jnp.ndarray] = None
     a_t: Optional[jnp.ndarray] = None
     src_t: Optional[jnp.ndarray] = None
     ds_kern: Optional[jnp.ndarray] = None
@@ -143,9 +168,9 @@ class ShardedBsda:
     b_ext_pad: int = 0
     depth_t: int = 0
     a_dtype_name: str = "float32"
-    # bit-packed planes of a_ext / a_t (see kernels/bsda.pack_a_planes) —
+    # bit-packed planes of a_loc / a_t (see kernels/bsda.pack_a_planes) —
     # the kernel ships these instead of the int8 tables when a_pack > 1
-    a_ext_p: Optional[jnp.ndarray] = None
+    a_loc_p: Optional[jnp.ndarray] = None
     a_t_p: Optional[jnp.ndarray] = None
     a_pack: int = 1
 
@@ -335,33 +360,62 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    a_ext = src_ext = a_t = src_t = ds_kern = ss_kern = None
-    a_ext_p = a_t_p = None
+    # ---- LOCAL/HALO split of the dense tables (round-5 overlap design;
+    # SURVEY §2.3 "overlapped with local SpMM"). Every A-block whose
+    # source chunk is shard-local moves to a_loc with sources re-based to
+    # LOCAL coords (zeroed slots self-point, keeping the encoding banded
+    # with max_chunk_dist = h); the remaining blocks — boundary
+    # destination chunks reading remote sources — go to the compact fixup
+    # tables, applied after the halo exchange lands. ----
+    d = g.depth
+    nonzero = a.any(axis=(3, 4))  # [n_dev, b_loc, D]
+    mask_halo = (src_local < h) | (src_local >= h + b_loc)
+    l_idx = np.arange(b_loc)[None, :, None]
+    a_loc_np = np.where(mask_halo[..., None, None], 0, a).astype(a.dtype)
+    src_loc_np = np.where(mask_halo, l_idx, src_local - h).astype(np.int32)
+
+    fix_mask = mask_halo & nonzero  # blocks that actually need the halo
+    per_dev_fix = []
+    k_h = 1
+    d_h = 1
+    for dev in range(n_dev):
+        ls, dis = np.nonzero(fix_mask[dev])
+        chunks_u, inv = np.unique(ls, return_inverse=True)
+        slots = [[] for _ in range(chunks_u.size)]
+        for pos, (l_i, d_i) in enumerate(zip(ls, dis)):
+            slots[inv[pos]].append((l_i, d_i))
+        per_dev_fix.append((chunks_u, slots))
+        k_h = max(k_h, chunks_u.size)
+        d_h = max(d_h, max((len(s) for s in slots), default=1))
+    hal_dst_np = np.tile(
+        np.arange(k_h, dtype=np.int32)[None, :], (n_dev, 1)
+    ) + b_loc  # distinct ascending out-of-range pads (scatter drop)
+    hal_a_np = np.zeros((n_dev, k_h, d_h, c, c), np.float32)
+    hal_src_np = np.zeros((n_dev, k_h, d_h), np.int32)
+    for dev, (chunks_u, slots) in enumerate(per_dev_fix):
+        hal_dst_np[dev, : chunks_u.size] = chunks_u.astype(np.int32)
+        for ki, (l_u, sl) in enumerate(zip(chunks_u, slots)):
+            for si, (l_i, d_i) in enumerate(sl):
+                hal_a_np[dev, ki, si] = a[dev, l_i, d_i].astype(np.float32)
+                hal_src_np[dev, ki, si] = int(src_local[dev, l_i, d_i])
+
+    a_t = src_t = ds_kern = ss_kern = None
+    a_loc_p = a_t_p = None
     b_ext_pad = 0
     depth_t = 0
     if use_pallas:
-        # ext-shaped tables: reuse the single-device banded kernel verbatim
-        # per shard. GROUP matches the kernel's group-size rule
-        # (pallas_bsda._forward: g_chunks = max(GROUP, max_chunk_dist)).
+        # Pallas backward: the SAME banded kernel on the exact
+        # block-transpose over the halo-extended grid. GROUP matches the
+        # kernel's group-size rule (pallas_bsda._forward:
+        # g_chunks = max(GROUP, max_chunk_dist)).
         from ..kernels.pallas_bsda import GROUP
 
         grp = max(GROUP, h)
         b_ext = b_loc + 2 * h
         b_ext_pad = -(-b_ext // grp) * grp
-        d = g.depth
-        a_ext_np = np.zeros((n_dev, b_ext_pad, d, c, c), a.dtype)
-        a_ext_np[:, h: h + b_loc] = a
-        # halo/pad destination chunks: zero blocks, self-pointing sources
-        # (distance 0 — keeps the encoding banded)
-        src_ext_np = np.tile(
-            np.arange(b_ext_pad, dtype=np.int32)[None, :, None],
-            (n_dev, 1, d),
-        )
-        src_ext_np[:, h: h + b_loc] = src_local.astype(np.int32)
 
         # exact block-transpose per device: ext chunk j receives
         # a[l, di]^T from every (l, di) with src_local[l, di] == j
-        nonzero = a.any(axis=(3, 4))  # [n_dev, b_loc, D]
         refs = [[[] for _ in range(b_ext_pad)] for _ in range(n_dev)]
         for dev in range(n_dev):
             ls, dis = np.nonzero(nonzero[dev])
@@ -398,16 +452,14 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         if g.a_pack > 1:
             from ..kernels.bsda import pack_a_planes
 
-            a_ext_p = jnp.asarray(np.stack([
-                pack_a_planes(a_ext_np[dev], g.a_pack)
+            a_loc_p = jnp.asarray(np.stack([
+                pack_a_planes(a_loc_np[dev], g.a_pack)
                 for dev in range(n_dev)
             ]))
             a_t_p = jnp.asarray(np.stack([
                 pack_a_planes(a_t_np[dev], g.a_pack)
                 for dev in range(n_dev)
             ]))
-        a_ext = jnp.asarray(a_ext_np)
-        src_ext = jnp.asarray(src_ext_np)
         a_t = jnp.asarray(a_t_np)
         src_t = jnp.asarray(src_t_np)
         ds_local = split_scale(g.dst_scale, ext=False)
@@ -435,8 +487,11 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         axis_name=axis_name,
         halo_chunks=h,
         n_dev=n_dev,
-        a_ext=a_ext,
-        src_ext=src_ext,
+        a_loc=jnp.asarray(a_loc_np),
+        src_loc=jnp.asarray(src_loc_np),
+        hal_a=jnp.asarray(hal_a_np),
+        hal_src=jnp.asarray(hal_src_np),
+        hal_dst=jnp.asarray(hal_dst_np),
         a_t=a_t,
         src_t=src_t,
         ds_kern=ds_kern,
@@ -445,9 +500,9 @@ def partition_bsda(g: BsdaGraph, n_dev: int,
         b_ext_pad=b_ext_pad,
         depth_t=depth_t,
         a_dtype_name=g.a_dtype_name,
-        a_ext_p=a_ext_p,
+        a_loc_p=a_loc_p,
         a_t_p=a_t_p,
-        a_pack=g.a_pack if a_ext_p is not None else 1,
+        a_pack=g.a_pack if a_loc_p is not None else 1,
     )
 
 
@@ -472,13 +527,16 @@ def sharded_specs(sg: ShardedBsda) -> ShardedBsda:
         res_perm=P(NODE_AXIS, None),
         dst_scale=opt(sg.dst_scale, P(NODE_AXIS, None)),
         src_scale_ext=opt(sg.src_scale_ext, P(NODE_AXIS, None)),
-        a_ext=opt(sg.a_ext, P(NODE_AXIS, None, None, None, None)),
-        src_ext=opt(sg.src_ext, P(NODE_AXIS, None, None)),
+        a_loc=opt(sg.a_loc, P(NODE_AXIS, None, None, None, None)),
+        src_loc=opt(sg.src_loc, P(NODE_AXIS, None, None)),
+        hal_a=opt(sg.hal_a, P(NODE_AXIS, None, None, None, None)),
+        hal_src=opt(sg.hal_src, P(NODE_AXIS, None, None)),
+        hal_dst=opt(sg.hal_dst, P(NODE_AXIS, None)),
         a_t=opt(sg.a_t, P(NODE_AXIS, None, None, None, None)),
         src_t=opt(sg.src_t, P(NODE_AXIS, None, None)),
         ds_kern=opt(sg.ds_kern, P(NODE_AXIS, None)),
         ss_kern=opt(sg.ss_kern, P(NODE_AXIS, None)),
-        a_ext_p=opt(sg.a_ext_p, P(NODE_AXIS, None, None, None, None)),
+        a_loc_p=opt(sg.a_loc_p, P(NODE_AXIS, None, None, None, None)),
         a_t_p=opt(sg.a_t_p, P(NODE_AXIS, None, None, None, None)),
     )
 
@@ -495,37 +553,21 @@ def shard_slice(sg: ShardedBsda, d: int) -> ShardedBsda:
 def shard_local_aggregate(sg: ShardedBsda, x_ext: jnp.ndarray,
                           out_dtype=None) -> jnp.ndarray:
     """One shard's full local aggregation given its halo-extended input
-    rows x_ext [(B_loc + 2H) * C, F]: banded dense kernel (Pallas on TPU)
-    + width-bucketed residual spill. Returns the shard's local rows
-    [B_loc * C, F]. `sg` holds the shard's leading-axis-1 table views
-    (from shard_map splitting or `shard_slice`)."""
-    if out_dtype is None:
-        out_dtype = x_ext.dtype
+    rows x_ext [(B_loc + 2H) * C, F]: local-split dense kernel (Pallas on
+    TPU) + halo fixup + width-bucketed residual spill. Returns the shard's
+    local rows [B_loc * C, F]. `sg` holds the shard's leading-axis-1 table
+    views (from shard_map splitting or `shard_slice`).
 
-    if sg.use_pallas:
-        # kernel + residual live inside ONE custom VJP with explicit
-        # serialization tokens (see _pallas_local_aggregate): with no data
-        # dependency XLA schedules the residual gathers/scatters
-        # concurrently with the Mosaic custom call, and that combination
-        # crashes the TPU worker on n>1 shard tables ("kernel fault" —
-        # deterministic, found and bisected by
-        # tools/verify_shard_kernels.py; gather-free and serialized
-        # modules both run clean, so this is a runtime scheduling
-        # interaction, not kernel logic)
-        return _pallas_local_aggregate(sg, x_ext).astype(out_dtype)
-
-    # local residual: sources from the halo-extended rows (true weights).
-    # Width-bucketed gathers + static merge permutation + ONE unique+sorted
-    # scatter-add (the bucket structure keeps the gather proportional to
-    # spill edges; the permutation restores sorted-destination order)
-    spill = _residual_spill(sg, x_ext)
+    Convenience wrapper for callers that hold a pre-assembled extended
+    buffer (tools/verify_shard_kernels.py); the shard_map step calls
+    _split_local_aggregate with the ppermute halves directly, so the local
+    kernel keeps no data dependency on the exchange."""
     hc = sg.halo_chunks * sg.chunk
-    out = _einsum_local_spmm(sg, x_ext[hc: x_ext.shape[0] - hc], x_ext)
-    out = out.at[sg.res_rows[0]].add(
-        spill.astype(out.dtype), mode="drop",
-        indices_are_sorted=True, unique_indices=True,
+    n_loc = sg.a.shape[1] * sg.chunk
+    return _split_local_aggregate(
+        sg, x_ext[hc: hc + n_loc], x_ext[:hc], x_ext[hc + n_loc:],
+        out_dtype=out_dtype,
     )
-    return out.astype(out_dtype)
 
 
 def _residual_spill(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
@@ -544,8 +586,9 @@ def _residual_spill(sg: ShardedBsda, x_ext: jnp.ndarray) -> jnp.ndarray:
 def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
                       compute_dtype=None) -> jnp.ndarray:
     """Boundary-halo aggregation inside shard_map: ring-exchange the H
-    boundary chunks with both neighbors, then local MXU chunk matmuls.
-    x_local/returns: [N_loc, F].
+    boundary chunks with both neighbors, OVERLAPPED with the local-split
+    dense kernel (which reads only x_local); the halo fixup + residual
+    spill then read the extended buffer. x_local/returns: [N_loc, F].
 
     The shard_map caller passes the per-device slice of the stacked tables
     (leading axis length 1)."""
@@ -566,8 +609,8 @@ def sharded_bsda_spmm(sg: ShardedBsda, x_local: jnp.ndarray,
     # chunk index ever points there — src ids are window-validated at
     # partition time)
 
-    x_ext = jnp.concatenate([halo_l, xc, halo_r], axis=0)
-    return shard_local_aggregate(sg, x_ext, out_dtype=out_dtype)
+    return _split_local_aggregate(sg, xc, halo_l, halo_r,
+                                  out_dtype=out_dtype)
 
 
 def sharded_gat_attend(sg: ShardedBsda, x_proj: jnp.ndarray,
@@ -715,25 +758,121 @@ def sharded_gat_attend(sg: ShardedBsda, x_proj: jnp.ndarray,
     return (acc / jnp.maximum(s, 1e-16)[..., None]).astype(x_proj.dtype)
 
 
-def _pallas_local_aggregate(sg: ShardedBsda,
-                            x_ext: jnp.ndarray) -> jnp.ndarray:
+def _local_view(sg: ShardedBsda):
+    """BsdaGraph view of the LOCAL split tables: the banded kernel (or the
+    XLA einsum impl off-TPU) runs on x_local in local chunk coordinates —
+    a strictly smaller grid than the shard's old ext-shaped kernel, with
+    no data dependency on the halo exchange."""
+    from ..kernels.bsda import BsdaGraph
+
+    c = sg.chunk
+    hc = sg.halo_chunks * c
+    b_loc = sg.a.shape[1]
+    n_loc = b_loc * c
+    return BsdaGraph(
+        a=sg.a_loc[0], src_chunk=sg.src_loc[0], residual=None,
+        residual_rows=None, num_nodes=n_loc, num_chunks=b_loc,
+        depth=sg.depth, n_pad=0, a_dtype_name=sg.a_dtype_name, chunk=c,
+        use_pallas_kernel=sg.use_pallas, max_chunk_dist=sg.halo_chunks,
+        dst_scale=None if sg.dst_scale is None else sg.dst_scale[0],
+        src_scale=(
+            None if sg.src_scale_ext is None
+            else jax.lax.slice_in_dim(sg.src_scale_ext[0], hc, hc + n_loc)
+        ),
+        a_packed=None if sg.a_loc_p is None else sg.a_loc_p[0],
+        a_pack=sg.a_pack if sg.a_loc_p is not None else 1,
+    )
+
+
+def _halo_fixup(sg: ShardedBsda, xe: jnp.ndarray) -> jnp.ndarray:
+    """Boundary destination chunks' halo-source contributions
+    [K_h, C, F] f32 (chunk rows sg.hal_dst), read from the halo-extended
+    buffer — the only dense compute that waits on the exchange."""
+    c = sg.chunk
+    b_loc = sg.a.shape[1]
+    f = xe.shape[-1]
+    xe3 = xe.reshape(-1, c, f)
+    gath = xe3[sg.hal_src[0]]  # [K_h, D_h, C, F]
+    if sg.src_scale_ext is not None:
+        ss3 = sg.src_scale_ext[0].reshape(-1, c)
+        gath = gath * ss3[sg.hal_src[0]][..., None].astype(gath.dtype)
+    fix = jnp.einsum(
+        "kdij,kdjf->kif", sg.hal_a[0].astype(gath.dtype), gath,
+        preferred_element_type=jnp.float32,
+    )
+    if sg.dst_scale is not None:
+        ds3 = sg.dst_scale[0].reshape(b_loc, c)
+        fix = fix * ds3[jnp.clip(sg.hal_dst[0], 0, b_loc - 1)][..., None]
+    return fix
+
+
+def _apply_ext_terms(sg: ShardedBsda, out: jnp.ndarray,
+                     xe: jnp.ndarray) -> jnp.ndarray:
+    """Scatter the halo fixup and the residual spill into the local dense
+    result (unique+sorted dropped-pad scatters)."""
+    c = sg.chunk
+    b_loc = sg.a.shape[1]
+    f = out.shape[-1]
+    fix = _halo_fixup(sg, xe)
+    out3 = out.reshape(b_loc, c, f).at[sg.hal_dst[0]].add(
+        fix.astype(out.dtype), mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )
+    out = out3.reshape(b_loc * c, f)
+    spill = _residual_spill(sg, xe)
+    return out.at[sg.res_rows[0]].add(
+        spill.astype(out.dtype), mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )
+
+
+def _split_local_aggregate(sg: ShardedBsda, x_loc: jnp.ndarray,
+                           halo_l: jnp.ndarray, halo_r: jnp.ndarray,
+                           out_dtype=None) -> jnp.ndarray:
+    """One shard's aggregation from its local rows + the two halo halves:
+    the local-split dense kernel reads ONLY x_loc (no data dependency on
+    the ppermutes, so XLA schedules it while the exchange flies — the
+    SURVEY §2.3 comm/compute overlap), then the halo fixup einsum and the
+    width-bucketed residual spill read the extended buffer and scatter
+    into the kernel result."""
+    if out_dtype is None:
+        out_dtype = x_loc.dtype
+    if sg.use_pallas:
+        return _pallas_split_aggregate(
+            sg, x_loc, halo_l, halo_r
+        ).astype(out_dtype)
+    # einsum path: same structure, plain autodiff backward (no Mosaic
+    # call in the module, so no ordering discipline needed)
+    from ..kernels.bsda import _bsda_spmm_impl
+
+    out = _bsda_spmm_impl(_local_view(sg), x_loc, None)
+    xe = jnp.concatenate([halo_l, x_loc, halo_r], axis=0)
+    return _apply_ext_terms(sg, out, xe).astype(out_dtype)
+
+
+def _pallas_split_aggregate(sg: ShardedBsda, x_loc: jnp.ndarray,
+                            halo_l: jnp.ndarray,
+                            halo_r: jnp.ndarray) -> jnp.ndarray:
     """Per-shard dense aggregation through the banded Pallas kernel on the
-    ext-shaped tables PLUS the residual spill, under one custom VJP.
+    LOCAL split tables PLUS halo fixup and residual spill, under one
+    custom VJP.
 
-    Forward: residual einsum-gathers first, a zero token from their result
-    serializes them before the Mosaic kernel (ext tables, exact
-    block-transpose backward — autodiff cannot see inside pallas_call; the
-    transposed encoding is also ~2x faster than the chunk scatter-add
-    autodiff would emit, same design as pallas_bsda.pallas_bsda_spmm),
-    then the unique+sorted spill scatter-add.
+    Forward: local kernel FIRST (independent of the halos — overlaps the
+    ppermutes), then the fixup/residual gathers read the extended buffer
+    BARRIERED after the kernel, and the scatters land strictly after,
+    into its result. The barrier order exists because XLA otherwise
+    schedules gathers/scatters concurrently with the pallas custom call,
+    which crashes the TPU worker on n>1 shard tables (round-4 13-step
+    bisect, tools/verify_shard_kernels.py; a multiply-by-zero token is
+    NOT safe — the algebraic simplifier folds it away).
 
-    Backward: hand-written residual cotangent (gather ct at spill rows,
-    un-permute, per-bucket outer products, scatter-add into an ext-row
-    buffer) computed FIRST and token-serialized before the transpose
-    kernel, mirroring the forward. Both orderings exist because XLA
-    otherwise schedules the residual's gathers/scatters concurrently with
-    the pallas custom call, which crashes the TPU worker on n>1 shard
-    tables (bisected with tools/verify_shard_kernels.py)."""
+    Backward: hand-written residual cotangent (transpose-residual tables:
+    bucketed gathers/einsums + one unique+sorted dropped-pad scatter)
+    computed first and barriered before the block-transpose kernel
+    (autodiff cannot see inside pallas_call; the transposed encoding is
+    also ~2x faster than the chunk scatter-add autodiff would emit), then
+    the scatter into the kernel result — the exact op order of the
+    (stable) forward."""
     from ..kernels.bsda import BsdaGraph, _bsda_spmm_impl
     from ..kernels.pallas_bsda import _forward as _pallas_forward
 
@@ -742,9 +881,9 @@ def _pallas_local_aggregate(sg: ShardedBsda,
     else:
         # interpret-mode pallas cannot run under shard_map check_vma (the
         # HLO interpreter's internal buffers carry no vma); off-TPU the
-        # same ext/transpose tables run through the XLA einsum impl — the
-        # identical math, so CPU tests still verify this path's tables and
-        # custom VJP
+        # same local/transpose tables run through the XLA einsum impl —
+        # the identical math, so CPU tests still verify this path's
+        # tables and custom VJP
         def _forward(g, xe):
             return _bsda_spmm_impl(g, xe, None)
 
@@ -752,57 +891,41 @@ def _pallas_local_aggregate(sg: ShardedBsda,
     b_loc = sg.a.shape[1]
     n_loc = b_loc * c
     b_ext_pad = sg.b_ext_pad
-    n_ext = x_ext.shape[0]  # (b_loc + 2h) * c
-    pad_rows = b_ext_pad * c - n_ext
-    rows = sg.res_rows[0]
+    n_ext = n_loc + 2 * h * c
 
-    def view(a_tab, src_tab, depth, ds, ss, a_p):
-        return BsdaGraph(
-            a=a_tab, src_chunk=src_tab, residual=None, residual_rows=None,
-            num_nodes=b_ext_pad * c, num_chunks=b_ext_pad, depth=depth,
-            n_pad=0, a_dtype_name=sg.a_dtype_name, chunk=c,
-            use_pallas_kernel=True, max_chunk_dist=h,
-            dst_scale=ds, src_scale=ss,
-            a_packed=a_p, a_pack=sg.a_pack if a_p is not None else 1,
-        )
-
-    g_fwd = view(sg.a_ext[0], sg.src_ext[0], sg.depth,
-                 None if sg.ds_kern is None else sg.ds_kern[0],
-                 None if sg.ss_kern is None else sg.ss_kern[0],
-                 None if sg.a_ext_p is None else sg.a_ext_p[0])
+    g_loc = _local_view(sg)
     # backward: ct_ext = ss .* (A^T @ (ds .* ct)) — roles of the factored
-    # scales swap (the kernel view's dst scale becomes ss over ext rows)
-    g_bwd = view(sg.a_t[0], sg.src_t[0], sg.depth_t,
-                 None if sg.ss_kern is None else sg.ss_kern[0],
-                 None if sg.ds_kern is None else sg.ds_kern[0],
-                 None if sg.a_t_p is None else sg.a_t_p[0])
+    # scales swap (the kernel view's dst scale becomes ss over ext rows).
+    # a_t transposes the FULL per-shard table (local + halo blocks), so
+    # one kernel covers both forward terms' cotangents.
+    g_bwd = BsdaGraph(
+        a=sg.a_t[0], src_chunk=sg.src_t[0], residual=None,
+        residual_rows=None, num_nodes=b_ext_pad * c, num_chunks=b_ext_pad,
+        depth=sg.depth_t, n_pad=0, a_dtype_name=sg.a_dtype_name, chunk=c,
+        use_pallas_kernel=True, max_chunk_dist=h,
+        dst_scale=None if sg.ss_kern is None else sg.ss_kern[0],
+        src_scale=None if sg.ds_kern is None else sg.ds_kern[0],
+        a_packed=None if sg.a_t_p is None else sg.a_t_p[0],
+        a_pack=sg.a_pack if sg.a_t_p is not None else 1,
+    )
 
-    def _run(xe):
-        spill = _residual_spill(sg, xe)
-        # serialization: the kernel input passes through an
-        # optimization_barrier together with the completed residual
-        # gathers, so XLA cannot schedule them concurrently with the
-        # custom call (a multiply-by-zero token is NOT safe here — XLA's
-        # algebraic simplifier can fold 0*x away and silently drop the
-        # ordering, which made the crash flaky rather than fixed)
-        xe_k, spill = jax.lax.optimization_barrier((xe, spill))
-        if pad_rows:
-            xe_k = jnp.concatenate(
-                [xe_k, jnp.zeros((pad_rows, xe.shape[1]), xe.dtype)], axis=0
-            )
-        out_ext = _forward(g_fwd, xe_k)
-        out = jax.lax.slice_in_dim(out_ext, h * c, h * c + n_loc)
-        return out.at[rows].add(
-            spill.astype(out.dtype), mode="drop",
-            indices_are_sorted=True, unique_indices=True,
-        )
+    def _run(xl, hl, hr):
+        out = _forward(g_loc, xl)
+        xe = jnp.concatenate([hl, xl, hr], axis=0)
+        # module discipline: the extended buffer (every fixup/residual
+        # gather's operand) passes through an optimization_barrier with
+        # the kernel output, so no gather can be scheduled concurrently
+        # with the Mosaic call; the scatters go into `out` — strictly
+        # after the kernel
+        xe, out = jax.lax.optimization_barrier((xe, out))
+        return _apply_ext_terms(sg, out, xe)
 
     @jax.custom_vjp
-    def agg(xe):
-        return _run(xe)
+    def agg(xl, hl, hr):
+        return _run(xl, hl, hr)
 
-    def agg_fwd(xe):
-        out = _run(xe)
+    def agg_fwd(xl, hl, hr):
+        out = _run(xl, hl, hr)
         # token residual: a slice of the forward output, barriered into
         # the backward below. Under jax.grad the primal's pallas_call can
         # remain in the module with its output otherwise UNUSED (custom
@@ -830,14 +953,7 @@ def _pallas_local_aggregate(sg: ShardedBsda,
             for nbr_k, w_k in zip(sg.rest_nbr, sg.rest_w)
         ]
         d_sorted = jnp.concatenate(outs, axis=0)[sg.rest_perm[0]]
-        # ---- dense backward: transpose-table kernel. Empirical module
-        # discipline (13-step TPU bisect, tools/verify_shard_kernels.py):
-        # every gather/scatter must be ORDERED against the Mosaic call
-        # (barrier), and the scatter must land strictly AFTER the kernel
-        # — a scatter scheduled before or concurrent with a pallas_call
-        # crashes the TPU worker. So: gathers, barrier, kernel, scatter
-        # into the kernel result — the exact op order of the (stable)
-        # forward. ----
+        # gathers, barrier, kernel, scatter into the kernel result
         ct_k, d_sorted = jax.lax.optimization_barrier((ct, d_sorted))
         ctp = jnp.concatenate([
             jnp.zeros((h * c, f), ct.dtype),
@@ -845,52 +961,19 @@ def _pallas_local_aggregate(sg: ShardedBsda,
             jnp.zeros((b_ext_pad * c - (h * c + n_loc), f), ct.dtype),
         ], axis=0)
         ct_ext = jax.lax.slice_in_dim(_forward(g_bwd, ctp), 0, n_ext)
-        return (ct_ext.at[sg.rest_rows[0]].add(
+        d_xe = ct_ext.at[sg.rest_rows[0]].add(
             d_sorted.astype(ct_ext.dtype), mode="drop",
             indices_are_sorted=True, unique_indices=True,
-        ),)
+        )
+        hc = h * c
+        return (
+            jax.lax.slice_in_dim(d_xe, hc, hc + n_loc),
+            jax.lax.slice_in_dim(d_xe, 0, hc),
+            jax.lax.slice_in_dim(d_xe, hc + n_loc, n_ext),
+        )
 
     agg.defvjp(agg_fwd, agg_bwd)
-    return agg(x_ext)
-
-
-def _einsum_local_spmm(sg: ShardedBsda, xc: jnp.ndarray,
-                       x_ext: jnp.ndarray) -> jnp.ndarray:
-    """XLA einsum per-shard aggregation (autodiff handles the backward)."""
-    a = sg.a[0]
-    src = sg.src_local[0]
-    h, c = sg.halo_chunks, sg.chunk
-    f = xc.shape[-1]
-    b_loc = a.shape[0]
-
-    x3_loc = xc.reshape(b_loc, c, f)
-    x3_ext = x_ext.reshape(b_loc + 2 * h, c, f)
-
-    if sg.src_scale_ext is not None:
-        ss3 = sg.src_scale_ext[0].reshape(b_loc + 2 * h, c)
-        diag_rhs = x3_loc * ss3[h: h + b_loc, :, None].astype(xc.dtype)
-    else:
-        ss3 = None
-        diag_rhs = x3_loc
-
-    # diagonal slot: own chunk, no communication dependency — XLA overlaps
-    # this einsum with the ppermutes above
-    out = jnp.einsum(
-        "bij,bjf->bif", a[:, 0].astype(xc.dtype), diag_rhs,
-        preferred_element_type=jnp.float32,
-    )
-    if sg.depth > 1:
-        gathered = x3_ext[src[:, 1:]]  # [B_loc, D-1, C, F]
-        if ss3 is not None:
-            gathered = gathered * ss3[src[:, 1:], :, None].astype(xc.dtype)
-        out = out + jnp.einsum(
-            "bdij,bdjf->bif", a[:, 1:].astype(xc.dtype), gathered,
-            preferred_element_type=jnp.float32,
-        )
-    out = out.reshape(-1, f)
-    if sg.dst_scale is not None:
-        out = out * sg.dst_scale[0][:, None]
-    return out
+    return agg(x_loc, halo_l, halo_r)
 
 
 def make_shardmap_train_step(mesh: Mesh, model, tx, loss_parts: Tuple,

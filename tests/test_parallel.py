@@ -286,3 +286,101 @@ def test_shardmap_full_loss_surface_matches_single_device(tmp_path):
         base, run_name="smf8", mesh_devices=8, aggregation="shard_map"))
     assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
     assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
+
+
+def test_aggregation_auto_resolves_to_shardmap_on_meshes():
+    """`aggregation: auto` + `mesh_devices > 1` selects the explicit
+    shard_map halo path for every BSDA-capable model family (VERDICT r4
+    #3: the certified fast path is the multi-device default); mesh=1 keeps
+    the single-device resolution; pinned values are honored."""
+    from elliptic_gnn_tpu.train.train_gnn import _pick_aggregation
+
+    for kind in ("sage", "gcn", "gat"):
+        assert _pick_aggregation({"mesh_devices": 8}, None, kind) == "shard_map"
+        assert _pick_aggregation({"mesh_devices": "all"}, None, kind) == (
+            "shard_map" if len(jax.devices()) > 1 else
+            _pick_aggregation({}, None, kind)
+        )
+    # mesh=1: unchanged single-device resolution (bsda off-TPU)
+    assert _pick_aggregation({}, None, "sage") in ("bsda", "bsda_pallas")
+    # pinned values are never overridden
+    assert _pick_aggregation(
+        {"mesh_devices": 8, "aggregation": "bsda"}, None, "sage") == "bsda"
+    assert _pick_aggregation(
+        {"mesh_devices": 8, "aggregation": "ell"}, None, "sage") == "ell"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_auto_mesh_falls_back_to_gspmd_when_not_banded(tmp_path, monkeypatch,
+                                                       capsys):
+    """When partition_bsda rejects the graph (non-banded), `aggregation:
+    auto` falls back to the GSPMD einsum path and still matches the
+    single-device run; an explicit `aggregation: shard_map` surfaces the
+    error instead of silently degrading."""
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.parallel import shardmap_step
+    from elliptic_gnn_tpu.train import train_gnn
+
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 1500,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "arch": "sage_resbn",
+        "hidden_dim": 16, "layers": 3, "dropout": 0.0, "lr": 0.01,
+        "weight_decay": 0.0, "max_epochs": 5, "patience": 5,
+        "time_embed_dim": 2, "time_embed_type": "sin", "max_timestep": 10,
+        "symmetrize_edges": True, "calibrate_temperature": False,
+    }
+    m1 = train_gnn.main(dict(base, run_name="fb1"))
+
+    def reject(*a, **k):
+        raise ValueError("synthetic non-banded rejection (test)")
+
+    monkeypatch.setattr(shardmap_step, "partition_bsda", reject)
+    m8 = train_gnn.main(dict(base, run_name="fb8", mesh_devices=8))
+    out = capsys.readouterr().out
+    assert "falling back to GSPMD einsum" in out
+    assert abs(m1["pr_auc_illicit"] - m8["pr_auc_illicit"]) < 2e-3
+    assert abs(m1["best_val_pr_auc"] - m8["best_val_pr_auc"]) < 2e-3
+
+    with pytest.raises(ValueError, match="non-banded rejection"):
+        train_gnn.main(dict(base, run_name="fb8x", mesh_devices=8,
+                            aggregation="shard_map"))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_epochs_per_sync_scan_composes_with_shardmap(tmp_path):
+    """The K-epoch device-side scan wraps the explicit shard_map step
+    (VERDICT r4 #4: the scan x shard_map composition was untested):
+    `epochs_per_sync: 4` + `aggregation: shard_map` on the 8-device mesh
+    must reproduce the serial shard_map run's metrics exactly (the scan
+    makes identical per-epoch decisions; tests/test_train.py proves the
+    single-device analogue)."""
+    from elliptic_gnn_tpu.graph import build_graph
+    from elliptic_gnn_tpu.train import train_gnn
+
+    processed = str(tmp_path / "p")
+    build_graph.main({
+        "seed": 4, "t_train_end": 6, "t_val_end": 8, "t_max": 10,
+        "synthetic": True, "synthetic_nodes": 1500,
+        "processed_dir": processed, "data_dir": str(tmp_path / "r"),
+    })
+    base = {
+        "seed": 0, "processed_dir": processed,
+        "output_root": str(tmp_path / "o"), "arch": "sage_resbn",
+        "hidden_dim": 16, "layers": 3, "dropout": 0.0, "lr": 0.01,
+        "weight_decay": 0.0, "max_epochs": 6, "patience": 3,
+        "time_embed_dim": 2, "time_embed_type": "sin", "max_timestep": 10,
+        "symmetrize_edges": True, "calibrate_temperature": False,
+        "mesh_devices": 8, "aggregation": "shard_map",
+    }
+    m_serial = train_gnn.main(dict(base, run_name="sms", epochs_per_sync=1))
+    m_scan = train_gnn.main(dict(base, run_name="smk", epochs_per_sync=4))
+    assert np.isclose(m_serial["pr_auc_illicit"], m_scan["pr_auc_illicit"],
+                      rtol=1e-6, atol=1e-7)
+    assert np.isclose(m_serial["best_val_pr_auc"], m_scan["best_val_pr_auc"],
+                      rtol=1e-6, atol=1e-7)

@@ -292,3 +292,119 @@ def test_sharded_gat_attend_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_local_dense_aggregation_independent_of_halo(use_pallas):
+    """The comm/compute overlap contract (SURVEY §2.3 'overlapped with
+    local SpMM'): inside the shard body, the dense LOCAL aggregation — the
+    dominant compute — must have NO data dependency on the ppermuted halo
+    halves, so XLA is free to schedule it while the exchange flies. Only
+    the halo-fixup einsum (<= 2H boundary chunks) and the residual spill
+    may read them.
+
+    Verified structurally on the jaxpr: the largest dot_general /
+    pallas_call in the shard body (at any sub-jaxpr depth) must not be
+    data-reachable from any ppermute output. The TPU build substitutes
+    the Pallas kernel at the same dataflow position
+    (_split_local_aggregate), so the independence carries over;
+    SHARD_KERNEL_CERT.json separately proves the kernel numerics on the
+    real chip."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.extend import core as jex_core
+
+    from elliptic_gnn_tpu.kernels import bsda as B
+    from elliptic_gnn_tpu.parallel.shardmap_step import (
+        sharded_bsda_spmm, sharded_specs,
+    )
+
+    data0 = synthetic.generate(num_nodes=3000, num_timesteps=10, seed=5)
+    data0 = symmetrize_edges(data0)
+    rank = B.bfs_order(data0.edge_index, data0.num_nodes, data0.timestep)
+    data0 = data0.renumber(rank)
+    g = B.build_bsda(data0.edge_index, data0.num_nodes, mean=True, depth=2)
+    n_dev = 8
+    if g.num_chunks % n_dev:
+        pytest.skip("chunks don't tile the mesh")
+    mesh = make_mesh(n_dev)
+    sg = partition_bsda(g, n_dev, use_pallas=use_pallas)
+    n_tgt = g.num_chunks * g.chunk
+    x = jnp.zeros((n_tgt, 32), jnp.float32)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(NODE_AXIS, None), sharded_specs(sg)),
+        out_specs=P(NODE_AXIS, None), check_vma=True,
+    )
+    def agg(x_loc, sg_loc):
+        return sharded_bsda_spmm(sg_loc, x_loc)
+
+    jaxpr = jax.make_jaxpr(lambda xx: agg(xx, sg))(x)
+
+    def sub_jaxprs(eqn):
+        """Every (sub_jaxpr, eqn) found in an eqn's params."""
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for vv in vs:
+                sub = getattr(vv, "jaxpr", vv)
+                if hasattr(sub, "eqns"):
+                    yield sub
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            yield jx, eqn
+            for sub in sub_jaxprs(eqn):
+                yield from walk(sub)
+
+    body = None
+    for jx, eqn in walk(jaxpr.jaxpr):
+        if eqn.primitive.name == "ppermute":
+            body = jx
+            break
+    assert body is not None, "no ppermute found in the shard body"
+
+    def collect(jx, tainted):
+        """Propagate taint through jx's eqns (tainted: set of tainted vars
+        in jx, mutated) and return [(out_size, primitive, is_tainted)] for
+        every dot_general/pallas_call at any depth."""
+        found = []
+        for eqn in jx.eqns:
+            in_tainted = any(
+                (not isinstance(v, jex_core.Literal)) and v in tainted
+                for v in eqn.invars
+            )
+            if eqn.primitive.name == "ppermute":
+                in_tainted = True
+            for sub in sub_jaxprs(eqn):
+                inner = {
+                    iv for ov, iv in zip(eqn.invars, sub.invars)
+                    if (not isinstance(ov, jex_core.Literal))
+                    and ov in tainted
+                }
+                sub_found = collect(sub, inner)
+                found += sub_found
+                # conservative: if anything inside came out tainted the
+                # call outputs may be tainted too
+                if in_tainted or any(t for _, _, t in sub_found):
+                    in_tainted = in_tainted or any(
+                        t for _, _, t in sub_found
+                    )
+            if eqn.primitive.name in ("dot_general", "pallas_call"):
+                size = int(np.prod(eqn.outvars[0].aval.shape))
+                found.append((size, eqn.primitive.name, in_tainted))
+            if in_tainted:
+                for ov in eqn.outvars:
+                    tainted.add(ov)
+        return found
+
+    found = collect(body, set())
+    assert found, "no dense aggregation op found in the shard body"
+    max_size = max(s for s, _, _ in found)
+    clean_max = max((s for s, _, t in found if not t), default=0)
+    assert clean_max == max_size, (
+        "largest dense aggregation depends on the halo exchange: "
+        f"{sorted(found, reverse=True)[:6]}"
+    )

@@ -2,7 +2,7 @@
 using ONE real chip (VERDICT r3 "Next round" #4).
 
 Off-TPU the shard_map tests substitute the XLA einsum for the Mosaic
-kernel (parallel/shardmap_step.py::_pallas_local_aggregate), so the n>1 tests
+kernel (parallel/shardmap_step.py::_pallas_split_aggregate), so the n>1 tests
 prove the TABLES and the custom VJP but never execute the kernel binary
 on n>1 shard tables; on the real (single) chip only mesh=1 had run. This
 tool closes that gap without N chips: it builds the n-device
