@@ -40,32 +40,41 @@ from .bsda import BsdaGraph
 from .pallas_gat import NEG_INF, flash_eligible, flash_gat_payload, pack_width
 
 
-def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
-    """Merge the residual-spill attention partials into the packed kernel
-    output (streaming-softmax merge of (m, s, acc) triples), all on gathered
-    spill rows only. Mirrors bsda_gat.py::_spill_part.
+def _spill_gather_index(g: BsdaGraph):
+    """Concatenated payload gather index for the spill merge — every spill
+    neighbor id followed by the spill destination node ids — plus the
+    per-bucket segment sizes needed to slice the fused gather back apart.
 
-    All payload reads happen through ONE fused gather: under autodiff each
-    separate gather transposes into its own full [N, pack] zero+scatter
-    buffer in the backward — with several width buckets plus the
-    destination-row gather that was ~4.3 ms of the 34.6 ms train step for
-    0.6% of the edges (round-4 attribution, docs/PERF_NOTES.md); a single
-    gather leaves a single scatter-transpose."""
+    ONE fused gather matters under autodiff: each separate gather's
+    transpose materializes its own full [N, pack] zero+scatter buffer in
+    the backward — several width buckets plus the destination-row gather
+    was ~4.3 ms of the 34.6 ms train step for 0.6% of the edges (round-4
+    attribution, docs/PERF_NOTES.md)."""
     res = g.residual
-    if res is None:
-        return out
-    hc = h * ch
     rows = g.residual_rows  # compact spill row -> node id
     flat_parts = [jnp.reshape(nbr, (-1,)) for nbr in res.nbrs]
     dst_parts = [rows[rws] for rws in res.rows]
     sizes = [int(p.shape[0]) for p in flat_parts]
     dsizes = [int(p.shape[0]) for p in dst_parts]
-    gathered = payload[jnp.concatenate(flat_parts + dst_parts)]
+    return jnp.concatenate(flat_parts + dst_parts), sizes, dsizes
+
+
+def _spill_merge_rows(g: BsdaGraph, gathered, cur, h, ch, pack,
+                      negative_slope, sizes, dsizes):
+    """Compact spill merge: from `gathered` [sum(sizes)+sum(dsizes), pack]
+    fused-gather payload rows (neighbors then destinations) and `cur`
+    [R, pack] kernel partials on the spill rows, recompute the spill
+    attention partials and streaming-softmax-merge them (mirrors
+    bsda_gat.py::_spill_part). Returns merged [R, pack]. Everything here is
+    compact [R]-space jnp (R ~ hundreds) and differentiable — the
+    full-size gathers/scatters stay OUTSIDE (at the caller / custom-VJP
+    boundary)."""
+    res = g.residual
+    hc = h * ch
     pay_ns, adst_rs = [], []
     off = 0
     for nbr, n in zip(res.nbrs, sizes):
-        pay_ns.append(gathered[off: off + n].reshape(
-            nbr.shape + (payload.shape[1],)))
+        pay_ns.append(gathered[off: off + n].reshape(nbr.shape + (pack,)))
         off += n
     for nd in dsizes:
         adst_rs.append(gathered[off: off + nd, hc + h: hc + 2 * h])
@@ -99,7 +108,6 @@ def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
         s2 = s2[res.inv_perm]
         acc2 = acc2[res.inv_perm]
 
-    cur = out[rows]                              # [R, pack] small gather
     m1 = cur[:, hc: hc + h]
     s1 = cur[:, hc + h: hc + 2 * h]
     acc1 = cur[:, :hc].reshape(-1, h, ch)
@@ -108,10 +116,25 @@ def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
     w2 = jnp.exp(m2 - big)
     s = s1 * w1 + s2 * w2
     acc = acc1 * w1[..., None] + acc2 * w2[..., None]
-    merged = jnp.concatenate(
+    return jnp.concatenate(
         [acc.reshape(-1, hc), big, s,
-         jnp.zeros((big.shape[0], out.shape[1] - hc - 2 * h), out.dtype)],
+         jnp.zeros((big.shape[0], pack - hc - 2 * h), cur.dtype)],
         axis=1,
+    )
+
+
+def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
+    """Merge the residual-spill attention partials into the packed kernel
+    output on gathered spill rows only (eval path; training folds the same
+    compact math into the attend custom-VJP)."""
+    res = g.residual
+    if res is None:
+        return out
+    rows = g.residual_rows
+    idx, sizes, dsizes = _spill_gather_index(g)
+    merged = _spill_merge_rows(
+        g, payload[idx], out[rows], h, ch, payload.shape[1],
+        negative_slope, sizes, dsizes,
     )
     return out.at[rows].set(merged)
 
@@ -202,13 +225,24 @@ def packed_gat_forward(layer_params, x, g, negative_slope: float = 0.2):
 # ---------------- training path (custom-VJP flash attend) ----------------
 
 def _attend_packed_trainable(g, payload, h, ch, negative_slope):
-    """flash kernel forward + banded Pallas backward sweeps, attached via
-    jax.custom_vjp (the kernel itself is not differentiable). Returns the
-    packed [ acc | m | s ] output; the m lanes must be stop_gradient'ed by
-    the caller (the backward treats the softmax shift as a constant — the
-    flash-attention LSE convention, exact because acc/s is shift-
-    invariant)."""
-    from .pallas_gat_bwd import flash_gat_backward, g2_pack_width
+    """flash kernel forward + residual-spill merge + banded Pallas backward
+    sweeps, attached via jax.custom_vjp (the kernel itself is not
+    differentiable). Returns the packed, spill-merged [ acc | m | s ]
+    output; the m lanes must be stop_gradient'ed by the caller (the
+    backward treats the softmax shift as a constant — the flash-attention
+    LSE convention, exact because acc/s is shift-invariant downstream).
+
+    The spill merge lives INSIDE the VJP so its backward runs entirely in
+    compact [R]-space (jax.vjp over _spill_merge_rows): the payload
+    cotangent lands as one in-place `at[idx].add` on the sweeps' dense
+    cotangent and the kernel-out cotangent as one `at[rows].set` on the
+    incoming gbar. Autodiffing the merge outside instead pairs every
+    full-size gather/scatter with its own [N, pack] zero+scatter transpose
+    buffer — ~2.0 ms of the 31.8 ms round-4 train step for 0.6% of the
+    edges (docs/PERF_NOTES.md round-4/5 attribution)."""
+    from .pallas_gat_bwd import (
+        flash_gat_backward, flash_gat_backward3, g2_pack_width,
+    )
 
     pack1 = pack_width(h, ch)
     pack2 = g2_pack_width(h, ch)
@@ -227,22 +261,57 @@ def _attend_packed_trainable(g, payload, h, ch, negative_slope):
     for i in range(h):
         s_out[hc + i, hc + 2 * h + i] = 1.0   # m
 
+    spill = g.residual is not None
+    if spill:
+        rows = g.residual_rows
+        idx, sizes, dsizes = _spill_gather_index(g)
+
+        def merge_rows(gathered, cur):
+            return _spill_merge_rows(g, gathered, cur, h, ch, pack1,
+                                     negative_slope, sizes, dsizes)
+
     @jax.custom_vjp
     def attend(payload):
-        return flash_gat_payload(g, payload, h, ch, negative_slope)
+        out = flash_gat_payload(g, payload, h, ch, negative_slope)
+        if spill:
+            out = out.at[rows].set(merge_rows(payload[idx], out[rows]))
+        return out
 
     def attend_fwd(payload):
-        out = flash_gat_payload(g, payload, h, ch, negative_slope)
-        return out, (payload, out)
+        out_k = flash_gat_payload(g, payload, h, ch, negative_slope)
+        out = out_k
+        if spill:
+            out = out_k.at[rows].set(merge_rows(payload[idx], out_k[rows]))
+        return out, (payload, out_k)
 
     def attend_bwd(res, gbar):
-        payload, out = res
-        g2 = (
-            gbar @ jnp.asarray(s_gbar)
-            + payload @ jnp.asarray(s_pay)
-            + out @ jnp.asarray(s_out)
-        )
-        ct = flash_gat_backward(g, payload, g2, h, ch, negative_slope)
+        payload, out_k = res
+        d_gathered = None
+        if spill:
+            # compact VJP of the merge. The m-lane cotangent in d_cur is
+            # dropped by the sweep (it reads only gbar's acc/s lanes) —
+            # exact under the LSE gauge convention: the sweeps
+            # differentiate (acc, s) at fixed m, and since downstream
+            # acc/s is shift-invariant the m-direction contributes zero
+            # to the loss gradient.
+            _, vjp_rows = jax.vjp(merge_rows, payload[idx], out_k[rows])
+            d_gathered, d_cur = vjp_rows(gbar[rows])
+            gbar = gbar.at[rows].set(d_cur)
+        # one-sweep kernel reads (gbar, payload, out_k) lanes directly;
+        # the G2 grad-payload (three selector matmuls + one full-size
+        # HBM round-trip per layer) only exists on the two-sweep
+        # fallback path
+        ct = flash_gat_backward3(g, payload, gbar, out_k, h, ch,
+                                 negative_slope)
+        if ct is None:
+            g2 = (
+                gbar @ jnp.asarray(s_gbar)
+                + payload @ jnp.asarray(s_pay)
+                + out_k @ jnp.asarray(s_out)
+            )
+            ct = flash_gat_backward(g, payload, g2, h, ch, negative_slope)
+        if spill:
+            ct = ct.at[idx].add(d_gathered)
         return (ct,)
 
     attend.defvjp(attend_fwd, attend_bwd)
@@ -319,13 +388,13 @@ def packed_gat_train_forward(layer_params, x, g, rngs=None,
             return None
         # stop-gradient the m (and pad) lanes: the custom backward treats
         # the softmax shift as a constant; downstream must not
-        # differentiate through it (exact — see module docstring)
+        # differentiate through it (exact — see module docstring). The
+        # residual-spill merge already happened inside the attend VJP.
         keep = np.zeros(pack, np.float32)
         keep[:hc] = 1.0
         keep[hc + h: hc + 2 * h] = 1.0  # s lanes
         keep_v = jnp.asarray(keep)
         out = out * keep_v + jax.lax.stop_gradient(out) * (1.0 - keep_v)
-        out = _spill_merge_packed(g, payload, out, h, ch, negative_slope)
 
         S = np.zeros((pack, pack), np.float32)
         for hh in range(h):

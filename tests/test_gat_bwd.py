@@ -121,3 +121,43 @@ def test_packed_train_forward_grads_match_autodiff(hidden, heads):
             np.asarray(v), np.asarray(ref), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_one_sweep_backward_matches_two_sweep(monkeypatch):
+    """The fused one-kernel backward (_sweep_fused_call: dest-oriented
+    walk emitting source-oriented z rows through the revolving
+    accumulator) must reproduce the two-sweep (dest + transpose-table
+    source) payload cotangent exactly."""
+    from elliptic_gnn_tpu.kernels.pallas_gat import pack_width
+    from elliptic_gnn_tpu.kernels import pallas_gat_bwd as PB
+
+    rng = np.random.default_rng(23)
+    n = 128 * 40
+    ei, block_ids = _graph(n, 10, 2.5, seed=23)
+    rank = bfs_order(ei, n, block_ids)
+    ei = rank[ei].astype(np.int64)
+    g = build_bsda_for_kind(ei, n, "gat", depth=3, transpose=True)
+    assert g.transpose is not None
+
+    for h, ch in [(4, 8), (1, 2)]:
+        pack1 = pack_width(h, ch)
+        pack2 = PB.g2_pack_width(h, ch)
+        n_pad = g.num_chunks * g.chunk
+        hc = h * ch
+        pay = np.zeros((n_pad, pack1), np.float32)
+        pay[:, : hc + 2 * h] = 0.3 * rng.standard_normal((n_pad, hc + 2 * h))
+        g2 = np.zeros((n_pad, pack2), np.float32)
+        g2[:, : hc + h] = 0.3 * rng.standard_normal((n_pad, hc + h))
+        g2[:, hc + h: hc + 2 * h] = pay[:, hc + h: hc + 2 * h]
+        g2[:, hc + 2 * h: hc + 3 * h] = 0.5  # m lanes
+        pay, g2 = jnp.asarray(pay), jnp.asarray(g2)
+
+        monkeypatch.setenv("EGNN_GAT_ONE_SWEEP", "0")
+        ct_two = PB.flash_gat_backward(g, pay, g2, h, ch, 0.2)
+        monkeypatch.setenv("EGNN_GAT_ONE_SWEEP", "1")
+        ct_one = PB.flash_gat_backward(g, pay, g2, h, ch, 0.2)
+        assert ct_two is not None and ct_one is not None
+        np.testing.assert_allclose(
+            np.asarray(ct_one), np.asarray(ct_two), rtol=1e-5, atol=1e-5,
+            err_msg=f"h={h} ch={ch}",
+        )

@@ -93,8 +93,19 @@ def main():
         flash_gat_payload, pack_width,
     )
     from elliptic_gnn_tpu.kernels.pallas_gat_bwd import (
-        flash_gat_backward, g2_pack_width,
+        flash_gat_backward, flash_gat_backward3, g2_pack_width,
     )
+
+    def bwd3_args(pay_np, g2_np, h_, ch_, p1):
+        """Map a (payload, g2) pair onto flash_gat_backward3's three
+        source streams (gbar, out_k) for kernel-alone timing."""
+        hc_ = h_ * ch_
+        gb = np.zeros((pay_np.shape[0], p1), np.float32)
+        gb[:, :hc_] = g2_np[:, :hc_]                       # A_bar
+        gb[:, hc_ + h_: hc_ + 2 * h_] = g2_np[:, hc_: hc_ + h_]  # S_bar
+        ok = np.zeros((pay_np.shape[0], p1), np.float32)
+        ok[:, hc_: hc_ + h_] = g2_np[:, hc_ + 2 * h_: hc_ + 3 * h_]  # m
+        return jnp.asarray(gb), jnp.asarray(ok)
 
     n_pad = g.num_chunks * g.chunk
     pack1 = pack_width(h, ch)
@@ -115,10 +126,12 @@ def main():
         payload, g, n_small=2, n_big=12, repeats=2)
     log(f"[bench] flash fwd kernel (1 layer): {dt_fwd*1e3:.3f} ms")
 
+    gbar_1, outk_1 = bwd3_args(pay, np.asarray(g2), h, ch, pack1)
     dt_bwd, _ = differential_time(
-        lambda c, gg, gb: c + 1e-6 * flash_gat_backward(gg, c, gb, h, ch, 0.2),
-        payload, g, g2, n_small=2, n_big=12, repeats=2)
-    log(f"[bench] backward sweeps (dst+src, 1 layer): {dt_bwd*1e3:.3f} ms")
+        lambda c, gg, gb, ok: c + 1e-6 * flash_gat_backward3(
+            gg, c, gb, ok, h, ch, 0.2),
+        payload, g, gbar_1, outk_1, n_small=2, n_big=12, repeats=2)
+    log(f"[bench] one-sweep backward (1 layer): {dt_bwd*1e3:.3f} ms")
 
     # individual sweeps, replicating flash_gat_backward's padding
     from elliptic_gnn_tpu.kernels.pallas_gat_bwd import (
@@ -159,6 +172,55 @@ def main():
     dt_src, _ = differential_time(src_op, own1, src_t, occ_t, mult_t, ring2,
                                   n_small=2, n_big=12, repeats=2)
     log(f"[bench] source sweep alone: {dt_src*1e3:.3f} ms")
+
+    # ---- L2-shape kernels (final classification layer: h=1, ch=2) ----
+    h2, ch2 = 1, 2
+    pack1_2 = pack_width(h2, ch2)
+    pack2_2 = g2_pack_width(h2, ch2)
+    pay_2 = np.zeros((n_pad, pack1_2), np.float32)
+    pay_2[:, : h2 * ch2 + 2 * h2] = 0.1 * rng.standard_normal(
+        (n_pad, h2 * ch2 + 2 * h2))
+    payload_2 = jnp.asarray(pay_2)
+    g2_2 = np.zeros((n_pad, pack2_2), np.float32)
+    g2_2[:, : h2 * ch2 + h2] = 0.1 * rng.standard_normal(
+        (n_pad, h2 * ch2 + h2))
+    g2_2[:, h2 * ch2 + h2: h2 * ch2 + 2 * h2] = \
+        pay_2[:, h2 * ch2 + h2: h2 * ch2 + 2 * h2]
+    g2_2[:, h2 * ch2 + 2 * h2: h2 * ch2 + 3 * h2] = 0.5
+    g2_2 = jnp.asarray(g2_2)
+
+    dt_fwd2, _ = differential_time(
+        lambda c, gg: c + 1e-6 * flash_gat_payload(gg, c, h2, ch2, 0.2),
+        payload_2, g, n_small=2, n_big=12, repeats=2)
+    log(f"[bench] flash fwd kernel (L2 h=1): {dt_fwd2*1e3:.3f} ms")
+
+    gbar_2, outk_2 = bwd3_args(pay_2, np.asarray(g2_2), h2, ch2, pack1_2)
+    dt_bwd2, _ = differential_time(
+        lambda c, gg, gb, ok: c + 1e-6 * flash_gat_backward3(
+            gg, c, gb, ok, h2, ch2, 0.2),
+        payload_2, g, gbar_2, outk_2, n_small=2, n_big=12, repeats=2)
+    log(f"[bench] one-sweep backward (L2 h=1): {dt_bwd2*1e3:.3f} ms")
+
+    # ---- glue / spill attribution via attention stubs ----
+    import elliptic_gnn_tpu.kernels.packed_gat as PG
+
+    real_attend = PG._attend_packed_trainable
+
+    def stub_no_attn(g_, payload, h_, ch_, ns_):
+        # keep shapes; skip kernel AND spill merge
+        return payload * 1.000001
+
+    try:
+        PG._attend_packed_trainable = stub_no_attn
+        dt_stub = min(
+            differential_time(make_step(model_fused), (params, opt_state),
+                              x, y, tm, g, n_small=2, n_big=8, repeats=2)[0]
+            for _ in range(2)
+        )
+        log(f"[bench] glue-only step (attention stubbed): "
+            f"{dt_stub*1e3:.3f} ms")
+    finally:
+        PG._attend_packed_trainable = real_attend
 
     # ---- eval forward (packed pipeline, 2 layers) ----
     def eval_fwd(cr, params, gg):
