@@ -60,7 +60,7 @@ def _spill_gather_index(g: BsdaGraph):
 
 
 def _spill_merge_rows(g: BsdaGraph, gathered, cur, h, ch, pack,
-                      negative_slope, sizes, dsizes):
+                      negative_slope, sizes, dsizes, normalized=False):
     """Compact spill merge: from `gathered` [sum(sizes)+sum(dsizes), pack]
     fused-gather payload rows (neighbors then destinations) and `cur`
     [R, pack] kernel partials on the spill rows, recompute the spill
@@ -68,7 +68,9 @@ def _spill_merge_rows(g: BsdaGraph, gathered, cur, h, ch, pack,
     bsda_gat.py::_spill_part). Returns merged [R, pack]. Everything here is
     compact [R]-space jnp (R ~ hundreds) and differentiable — the
     full-size gathers/scatters stay OUTSIDE (at the caller / custom-VJP
-    boundary)."""
+    boundary). normalized=True: `cur` acc lanes hold val = acc/s (the
+    in-kernel-normalized output) — raw partials are recovered as val*s
+    and the merged rows are re-normalized before return."""
     res = g.residual
     hc = h * ch
     pay_ns, adst_rs = [], []
@@ -111,11 +113,15 @@ def _spill_merge_rows(g: BsdaGraph, gathered, cur, h, ch, pack,
     m1 = cur[:, hc: hc + h]
     s1 = cur[:, hc + h: hc + 2 * h]
     acc1 = cur[:, :hc].reshape(-1, h, ch)
+    if normalized:
+        acc1 = acc1 * s1[..., None]  # recover raw partials from val*s
     big = jnp.maximum(m1, m2)
     w1 = jnp.exp(m1 - big)
     w2 = jnp.exp(m2 - big)
     s = s1 * w1 + s2 * w2
     acc = acc1 * w1[..., None] + acc2 * w2[..., None]
+    if normalized:
+        acc = acc / jnp.maximum(s, 1e-16)[..., None]
     return jnp.concatenate(
         [acc.reshape(-1, hc), big, s,
          jnp.zeros((big.shape[0], pack - hc - 2 * h), cur.dtype)],
@@ -123,7 +129,8 @@ def _spill_merge_rows(g: BsdaGraph, gathered, cur, h, ch, pack,
     )
 
 
-def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
+def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope,
+                        normalized=False):
     """Merge the residual-spill attention partials into the packed kernel
     output on gathered spill rows only (eval path; training folds the same
     compact math into the attend custom-VJP)."""
@@ -134,7 +141,7 @@ def _spill_merge_packed(g: BsdaGraph, payload, out, h, ch, negative_slope):
     idx, sizes, dsizes = _spill_gather_index(g)
     merged = _spill_merge_rows(
         g, payload[idx], out[rows], h, ch, payload.shape[1],
-        negative_slope, sizes, dsizes,
+        negative_slope, sizes, dsizes, normalized=normalized,
     )
     return out.at[rows].set(merged)
 
@@ -193,20 +200,14 @@ def packed_gat_forward(layer_params, x, g, negative_slope: float = 0.2):
             return None
         payload = h_in @ proj  # [n_pad, pack]
 
-        out = flash_gat_payload(g, payload, h, ch, negative_slope)
-        if out is None:
+        # the kernel normalizes in-register (val = acc/s); the spill merge
+        # recovers raw partials compactly for its few rows
+        val = flash_gat_payload(g, payload, h, ch, negative_slope,
+                                normalize=True)
+        if val is None:
             return None
-        out = _spill_merge_packed(g, payload, out, h, ch, negative_slope)
-
-        # packed normalization: broadcast the s-lanes over the acc lanes
-        # with a constant selector matmul; every non-acc lane divides by 1
-        S = np.zeros((pack, pack), np.float32)
-        for hh in range(h):
-            S[hc + h + hh, hh * ch: (hh + 1) * ch] = 1.0
-        inv_mask = np.ones(pack, np.float32)
-        inv_mask[:hc] = 0.0
-        denom = jax.lax.dot(out, jnp.asarray(S)) + jnp.asarray(inv_mask)
-        val = out / jnp.maximum(denom, 1e-16)
+        val = _spill_merge_packed(g, payload, val, h, ch, negative_slope,
+                                  normalized=True)
 
         if li == n_layers - 1:
             ncls = p["b"].shape[0]
@@ -239,14 +240,26 @@ def _attend_packed_trainable(g, payload, h, ch, negative_slope):
     incoming gbar. Autodiffing the merge outside instead pairs every
     full-size gather/scatter with its own [N, pack] zero+scatter transpose
     buffer — ~2.0 ms of the 31.8 ms round-4 train step for 0.6% of the
-    edges (docs/PERF_NOTES.md round-4/5 attribution)."""
+    edges (docs/PERF_NOTES.md round-4/5 attribution).
+
+    Returns (out, normalized): on the one-sweep path the kernel emits
+    val = acc/s directly (normalized=True) and the backward transforms
+    the val cotangent to the raw gauge in-register — the caller must
+    skip its selector-matmul normalization."""
     from .pallas_gat_bwd import (
         flash_gat_backward, flash_gat_backward3, g2_pack_width,
+        one_sweep_eligible,
     )
+
+    import os
 
     pack1 = pack_width(h, ch)
     pack2 = g2_pack_width(h, ch)
     hc = h * ch
+    # EGNN_GAT_PRENORM=0: one-sweep backward WITHOUT the in-kernel
+    # normalization (selector-matmul normalization outside) — A/B hook
+    norm = one_sweep_eligible(g, h, ch) and \
+        os.environ.get("EGNN_GAT_PRENORM", "1") != "0"
     # constant lane-shuffle selectors building the grad payload
     # G2 = [ A_bar | S_bar | a_dst | m ] from (cotangent, payload, out)
     s_gbar = np.zeros((pack1, pack2), np.float32)
@@ -268,17 +281,20 @@ def _attend_packed_trainable(g, payload, h, ch, negative_slope):
 
         def merge_rows(gathered, cur):
             return _spill_merge_rows(g, gathered, cur, h, ch, pack1,
-                                     negative_slope, sizes, dsizes)
+                                     negative_slope, sizes, dsizes,
+                                     normalized=norm)
 
     @jax.custom_vjp
     def attend(payload):
-        out = flash_gat_payload(g, payload, h, ch, negative_slope)
+        out = flash_gat_payload(g, payload, h, ch, negative_slope,
+                                normalize=norm)
         if spill:
             out = out.at[rows].set(merge_rows(payload[idx], out[rows]))
         return out
 
     def attend_fwd(payload):
-        out_k = flash_gat_payload(g, payload, h, ch, negative_slope)
+        out_k = flash_gat_payload(g, payload, h, ch, negative_slope,
+                                  normalize=norm)
         out = out_k
         if spill:
             out = out_k.at[rows].set(merge_rows(payload[idx], out_k[rows]))
@@ -302,7 +318,7 @@ def _attend_packed_trainable(g, payload, h, ch, negative_slope):
         # HBM round-trip per layer) only exists on the two-sweep
         # fallback path
         ct = flash_gat_backward3(g, payload, gbar, out_k, h, ch,
-                                 negative_slope)
+                                 negative_slope, normalized=norm)
         if ct is None:
             g2 = (
                 gbar @ jnp.asarray(s_gbar)
@@ -315,7 +331,7 @@ def _attend_packed_trainable(g, payload, h, ch, negative_slope):
         return (ct,)
 
     attend.defvjp(attend_fwd, attend_bwd)
-    return attend(payload)
+    return attend(payload), norm
 
 
 def packed_gat_train_forward(layer_params, x, g, rngs=None,
@@ -383,26 +399,37 @@ def packed_gat_train_forward(layer_params, x, g, rngs=None,
             return None
         payload = h_in @ proj
 
-        out = _attend_packed_trainable(g, payload, h, ch, negative_slope)
+        out, pre_norm = _attend_packed_trainable(
+            g, payload, h, ch, negative_slope)
         if out is None:
             return None
-        # stop-gradient the m (and pad) lanes: the custom backward treats
-        # the softmax shift as a constant; downstream must not
-        # differentiate through it (exact — see module docstring). The
-        # residual-spill merge already happened inside the attend VJP.
-        keep = np.zeros(pack, np.float32)
-        keep[:hc] = 1.0
-        keep[hc + h: hc + 2 * h] = 1.0  # s lanes
-        keep_v = jnp.asarray(keep)
-        out = out * keep_v + jax.lax.stop_gradient(out) * (1.0 - keep_v)
-
-        S = np.zeros((pack, pack), np.float32)
-        for hh in range(h):
-            S[hc + h + hh, hh * ch: (hh + 1) * ch] = 1.0
-        inv_mask = np.ones(pack, np.float32)
-        inv_mask[:hc] = 0.0
-        denom = jax.lax.dot(out, jnp.asarray(S)) + jnp.asarray(inv_mask)
-        val = out / jnp.maximum(denom, 1e-16)
+        if pre_norm:
+            # one-sweep pipeline: the kernel already emitted val = acc/s
+            # (and the backward transforms the cotangent in-register) —
+            # no selector-matmul normalization pass. The m-lane
+            # stop-gradient is redundant here: the backward kernel reads
+            # only gbar's acc/s lanes, and every other m-lane consumer
+            # (ELU -> next layer's zero projection rows, final-layer
+            # slice) contributes an exactly-zero cotangent.
+            val = out
+        else:
+            # stop-gradient the m (and pad) lanes: the custom backward
+            # treats the softmax shift as a constant; the selector
+            # normalization below must not differentiate through it
+            # (exact — see module docstring). The residual-spill merge
+            # already happened inside the attend VJP.
+            keep = np.zeros(pack, np.float32)
+            keep[:hc] = 1.0
+            keep[hc + h: hc + 2 * h] = 1.0  # s lanes
+            keep_v = jnp.asarray(keep)
+            out = out * keep_v + jax.lax.stop_gradient(out) * (1.0 - keep_v)
+            S = np.zeros((pack, pack), np.float32)
+            for hh in range(h):
+                S[hc + h + hh, hh * ch: (hh + 1) * ch] = 1.0
+            inv_mask = np.ones(pack, np.float32)
+            inv_mask[:hc] = 0.0
+            denom = jax.lax.dot(out, jnp.asarray(S)) + jnp.asarray(inv_mask)
+            val = out / jnp.maximum(denom, 1e-16)
 
         if li == n_layers - 1:
             ncls = p["b"].shape[0]

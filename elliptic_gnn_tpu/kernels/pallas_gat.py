@@ -56,10 +56,10 @@ def _interpret() -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("c", "g_chunks", "d", "h", "ch", "pack",
-                     "negative_slope"),
+                     "negative_slope", "normalize"),
 )
 def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch, pack,
-                    negative_slope):
+                    negative_slope, normalize=False):
     b_pad = mult.shape[0]
     nb = b_pad // g_chunks
     hc = h * ch
@@ -164,8 +164,18 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch, pack,
                         e, rhs, preferred_element_type=jnp.float32
                     )
                 m_out.append(m)
-                s_out.append(acc_ext[:, ch: ch + 1])
-                acc_out.append(acc_ext[:, :ch])
+                s_col = acc_ext[:, ch: ch + 1]
+                s_out.append(s_col)
+                if normalize:
+                    # fold the softmax normalization into the kernel: emit
+                    # val = acc / s in the acc lanes (raw s kept in its
+                    # lane for the spill merge / backward transform) —
+                    # kills the [pack, pack] selector matmul + divide pass
+                    # outside (round 5, docs/PERF_NOTES.md)
+                    acc_out.append(acc_ext[:, :ch]
+                                   / jnp.maximum(s_col, 1e-16))
+                else:
+                    acc_out.append(acc_ext[:, :ch])
             # pack [acc | m | s | pad] into the pack-lane output row
             packed = jnp.concatenate(
                 [jnp.concatenate(acc_out, axis=1)]
@@ -236,7 +246,7 @@ def flash_eligible(g: BsdaGraph, h: int, ch: int) -> bool:
 
 
 def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
-                      negative_slope=0.2):
+                      negative_slope=0.2, normalize: bool = False):
     """Run the flash kernel on an already-packed node payload.
 
     payload [N_pad, pack] rows `[ x_proj (h*ch) | a_src (h) | a_dst (h) |
@@ -245,6 +255,8 @@ def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
     the shape doesn't fit the packing. Keeping both sides packed avoids the
     TPU tiling tax on narrow [N, h]/[N, h, ch] tensors (minor dims pad to
     128 lanes — a [N, 4] f32 array occupies 32x its logical bytes in HBM).
+    normalize=True emits `acc / max(s, 1e-16)` in the acc lanes instead
+    (raw s still in its lane) — the in-kernel softmax normalization.
     """
     c = g.chunk
     b = g.num_chunks
@@ -274,6 +286,7 @@ def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
     out = _flash_gat_call(
         src_chunk, mult, payload, c=c, g_chunks=g_chunks, d=d, h=h, ch=ch,
         pack=pack, negative_slope=float(negative_slope),
+        normalize=bool(normalize),
     )
     return out.reshape(b_pad * c, pack)[: b * c]
 

@@ -355,10 +355,11 @@ def _sweep_src_call(src_chunk, occ, mult, own1, pay2, *, c, g_chunks, d, h,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "slope"),
+    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack1", "slope",
+                     "normalized"),
 )
 def _sweep_fused_call(src_chunk, occ, mult, gbar3, pay3, out3, ring1, *, c,
-                      g_chunks, d, h, ch, pack1, slope):
+                      g_chunks, d, h, ch, pack1, slope, normalized=False):
     """ONE-kernel backward walking the FORWARD tables only: own = the
     cotangent gbar3 + fwd payload pay3 + kernel output out3 blocks (their
     relevant lanes indexed directly — no [N, pack2] grad-payload G2 is
@@ -417,10 +418,27 @@ def _sweep_fused_call(src_chunk, occ, mult, gbar3, pay3, out3, ring1, *, c,
                 gb = gbar_ref[g_i]                       # [C, pack1]
                 po = pay_ref[g_i]
                 oo = out_ref[g_i]
-                abar_hs = [gb[:, hh * ch: (hh + 1) * ch]
-                           for hh in range(h)]
-                sbar_hs = [gb[:, hc + h + hh: hc + h + hh + 1]
-                           for hh in range(h)]
+                if normalized:
+                    # kernel output was val = acc/s: transform the val
+                    # cotangent to the raw-(acc, s) gauge in-register —
+                    # A_bar = gbar/s, S_bar = gbar_s - (gbar . val)/s
+                    abar_hs, sbar_hs = [], []
+                    for hh in range(h):
+                        gv = gb[:, hh * ch: (hh + 1) * ch]
+                        val = oo[:, hh * ch: (hh + 1) * ch]
+                        inv_s = 1.0 / jnp.maximum(
+                            oo[:, hc + h + hh: hc + h + hh + 1], 1e-16)
+                        abar_hs.append(gv * inv_s)
+                        sbar_hs.append(
+                            gb[:, hc + h + hh: hc + h + hh + 1]
+                            - jnp.sum(gv * val, axis=1, keepdims=True)
+                            * inv_s
+                        )
+                else:
+                    abar_hs = [gb[:, hh * ch: (hh + 1) * ch]
+                               for hh in range(h)]
+                    sbar_hs = [gb[:, hc + h + hh: hc + h + hh + 1]
+                               for hh in range(h)]
                 alpha_hs = [po[:, hc + h + hh: hc + h + hh + 1]
                             for hh in range(h)]
                 m_hs = [oo[:, hc + hh: hc + hh + 1] for hh in range(h)]
@@ -623,14 +641,17 @@ def one_sweep_eligible(g: BsdaGraph, h: int, ch: int) -> bool:
 
 
 def flash_gat_backward3(g: BsdaGraph, payload, gbar, out_k, h: int, ch: int,
-                        negative_slope: float):
+                        negative_slope: float, normalized: bool = False):
     """Dense-block VJP of the flash forward — fused one-kernel sweep fed
     by its three natural streams (no G2 grad-payload is materialized):
 
       payload [N_pad, pack1] fwd payload (a_dst lanes + ring xp/a_src),
       gbar    [N_pad, pack1] output cotangent (acc lanes = A_bar,
               s lanes = S_bar; m lanes ignored),
-      out_k   [N_pad, pack1] kernel forward output (m lanes).
+      out_k   [N_pad, pack1] kernel forward output (m lanes; with
+              normalized=True also the val/s lanes, and gbar is the VAL
+              cotangent — the kernel transforms it to the raw gauge
+              in-register).
 
     Returns the payload cotangent [N_pad, pack1] rows
     [ d xp | d a_src | d a_dst | 0 ], or None when ineligible.
@@ -668,7 +689,7 @@ def flash_gat_backward3(g: BsdaGraph, payload, gbar, out_k, h: int, ch: int,
     out1, out2 = _sweep_fused_call(
         src_c, occ_d, mult, gbar_p, pay_p, out_p, ring_p,
         c=c, g_chunks=g_chunks, d=g.depth, h=h, ch=ch, pack1=pack1,
-        slope=slope,
+        slope=slope, normalized=bool(normalized),
     )
     lhs_rows = ((ch + 1 + 7) // 8) * 8
     rph = ch + lhs_rows

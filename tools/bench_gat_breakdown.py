@@ -207,8 +207,9 @@ def main():
     real_attend = PG._attend_packed_trainable
 
     def stub_no_attn(g_, payload, h_, ch_, ns_):
-        # keep shapes; skip kernel AND spill merge
-        return payload * 1.000001
+        # keep shapes; skip kernel AND spill merge (pre_norm True skips
+        # the selector normalization too, matching the production path)
+        return payload * 1.000001, True
 
     try:
         PG._attend_packed_trainable = stub_no_attn
