@@ -357,7 +357,7 @@ def main() -> None:
         from elliptic_gnn_tpu.models.modules import build_model
 
         g_gat = B.build_bsda_for_kind(
-            data.edge_index, data.num_nodes, "gat", depth=3,
+            data.edge_index, data.num_nodes, "gat", depth=4,
             a_dtype="float32", transpose=False,
         )
         gat_model = build_model(
@@ -419,7 +419,7 @@ def main() -> None:
         from elliptic_gnn_tpu.models.modules import build_model
 
         g_gt = B.build_bsda_for_kind(
-            data.edge_index, data.num_nodes, "gat", depth=3,
+            data.edge_index, data.num_nodes, "gat", depth=4,
             a_dtype="int8", transpose=True,
         )
         gt_cfg = {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0}

@@ -179,9 +179,15 @@ def build_train_state(cfg: dict, data, seed: int):
         want_transpose = agg != "shard_map" and (
             kind != "gat" or resolve_gat_fused(cfg)
         )
+        # GAT defaults to depth 4: its occupancy-gated backward skips the
+        # extra slot capacity where unused, the near-zero spill (5 rows vs
+        # 433 at depth 3, Elliptic scale) shrinks the compact merge, and
+        # the fused step measured ~2% faster in same-process A/B
+        # (docs/PERF_NOTES.md round 5). SAGE/GCN keep 3 (the banded SpMM
+        # kernel streams every slot; more table = more HBM).
         gops = build_bsda_for_kind(
             data.edge_index, data.num_nodes, kind,
-            depth=int(cfg.get("bsda_depth", 3)),
+            depth=int(cfg.get("bsda_depth", 4 if kind == "gat" else 3)),
             a_dtype=a_dtype,
             transpose=want_transpose,
         )

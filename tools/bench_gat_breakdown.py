@@ -56,7 +56,7 @@ def main():
     rank = bfs_order(data.edge_index, data.num_nodes, data.timestep)
     rdata = data.renumber(rank)
     g = build_bsda_for_kind(rdata.edge_index, rdata.num_nodes, "gat",
-                            depth=3, a_dtype="int8", transpose=True)
+                            depth=4, a_dtype="int8", transpose=True)
     occ_stats("fwd", g)
     occ_stats("transpose", g.transpose)
 
