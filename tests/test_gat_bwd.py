@@ -123,11 +123,13 @@ def test_packed_train_forward_grads_match_autodiff(hidden, heads):
         )
 
 
-def test_one_sweep_backward_matches_two_sweep(monkeypatch):
+@pytest.mark.parametrize("depth", [3, 4])
+def test_one_sweep_backward_matches_two_sweep(monkeypatch, depth):
     """The fused one-kernel backward (_sweep_fused_call: dest-oriented
     walk emitting source-oriented z rows through the revolving
     accumulator) must reproduce the two-sweep (dest + transpose-table
-    source) payload cotangent exactly."""
+    source) payload cotangent exactly. depth 4 is the GAT production
+    default (train_gnn.py round 5); depth 3 the shared bench shape."""
     from elliptic_gnn_tpu.kernels.pallas_gat import pack_width
     from elliptic_gnn_tpu.kernels import pallas_gat_bwd as PB
 
@@ -136,7 +138,7 @@ def test_one_sweep_backward_matches_two_sweep(monkeypatch):
     ei, block_ids = _graph(n, 10, 2.5, seed=23)
     rank = bfs_order(ei, n, block_ids)
     ei = rank[ei].astype(np.int64)
-    g = build_bsda_for_kind(ei, n, "gat", depth=3, transpose=True)
+    g = build_bsda_for_kind(ei, n, "gat", depth=depth, transpose=True)
     assert g.transpose is not None
 
     for h, ch in [(4, 8), (1, 2)]:
