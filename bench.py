@@ -418,9 +418,11 @@ def main() -> None:
 
         from elliptic_gnn_tpu.models.modules import build_model
 
+        # transpose=False mirrors the production trainer (round 5: the
+        # one-sweep backward walks forward tables only)
         g_gt = B.build_bsda_for_kind(
             data.edge_index, data.num_nodes, "gat", depth=4,
-            a_dtype="int8", transpose=True,
+            a_dtype="int8", transpose=False,
         )
         gt_cfg = {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0}
         gt_model = build_model("gat", N_FEATURES, gt_cfg)

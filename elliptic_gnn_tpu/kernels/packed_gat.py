@@ -345,22 +345,31 @@ def packed_gat_train_forward(layer_params, x, g, rngs=None,
     banded Pallas backward sweeps via custom_vjp. Returns logits
     [N, num_classes] or None when unsupported (caller falls back to the
     autodiff XLA path)."""
-    from .pallas_gat_bwd import g2_pack_width
+    from .pallas_gat_bwd import g2_pack_width, one_sweep_eligible
 
-    if not isinstance(g, BsdaGraph) or g.transpose is None:
+    if not isinstance(g, BsdaGraph):
         return None
     shapes = [p["w"].shape for p in layer_params]
     if any(not flash_eligible(g, s[1], s[2]) for s in shapes):
         return None
     if any(g2_pack_width(s[1], s[2]) > 512 for s in shapes):
         return None
-    gT = g.transpose
-    if gT.num_chunks != g.num_chunks or gT.chunk != g.chunk:
-        return None
-    from .pallas_gat import GROUP, RING
-    gt_chunks = max(GROUP, int(gT.max_chunk_dist))
-    if gt_chunks > 64 or \
-            (gT.num_chunks + (-gT.num_chunks) % gt_chunks) // gt_chunks <= RING:
+    if all(one_sweep_eligible(g, s[1], s[2]) for s in shapes):
+        # the one-sweep backward walks the FORWARD tables only (round
+        # 5) — no transpose tables needed (the trainer stops building
+        # them for GAT; ~1/3 of the table bytes + build time saved)
+        pass
+    elif g.transpose is not None:
+        gT = g.transpose
+        if gT.num_chunks != g.num_chunks or gT.chunk != g.chunk:
+            return None
+        from .pallas_gat import GROUP, RING
+        gt_chunks = max(GROUP, int(gT.max_chunk_dist))
+        if gt_chunks > 64 or \
+                (gT.num_chunks + (-gT.num_chunks) % gt_chunks) // gt_chunks \
+                <= RING:
+            return None
+    else:
         return None
     if shapes[-1][1] != 1:
         return None

@@ -226,6 +226,169 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch, pack,
     )(src_chunk, mult, packed3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "g_chunks", "d", "h", "ch", "pack",
+                     "negative_slope", "normalize"),
+)
+def _flash_gat_call_gated(src_chunk, occ, mult, packed3, *, c, g_chunks, d,
+                          h, ch, pack, negative_slope, normalize=False):
+    """Occupancy-gated variant of the flash forward: two `fori_loop`
+    passes over each chunk's slot cover (occ, scalar-prefetched) instead
+    of unrolling all D slots — pass 1 computes the per-head softmax shift
+    m (a cheap sublane max per slot), pass 2 accumulates (acc, s) with m
+    fixed. Round 3 measured a gated SINGLE-pass variant +40% slower
+    because the online-softmax rescaling chain serialized; precomputing m
+    removes the chain, making the accumulation order-free exactly like
+    the backward sweeps' register carries. Worth it since GAT moved to
+    depth 4 (round 5): ~35% of forward slots are empty there. The m this
+    variant emits maxes over the occ prefix only — a different (valid)
+    gauge than the unrolled kernel's all-slot max; every consumer is
+    shift-invariant."""
+    b_pad = mult.shape[0]
+    nb = b_pad // g_chunks
+    hc = h * ch
+
+    def kernel(src_ref, occ_ref, a_ref, x_hbm, out_ref, ring, sem):
+        bi = pl.program_id(0)
+        base = bi * g_chunks
+
+        def block_copy(gb):
+            slot = jax.lax.rem(gb, RING)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
+                ring.at[pl.ds(slot * g_chunks, g_chunks)],
+                sem,
+            )
+
+        @pl.when(bi == 0)
+        def _():
+            cp = block_copy(0)
+            cp.start()
+            cp.wait()
+            cp1 = block_copy(1)
+            cp1.start()
+            cp1.wait()
+            block_copy(2).start()
+
+        @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
+        def _():
+            block_copy(bi + 1).wait()
+
+        @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
+        def _():
+            block_copy(bi + 2).start()
+
+        def chunk_payload(src):
+            gb = src // g_chunks
+            return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+
+        ones_col = jnp.ones((c, 1), jnp.float32)
+        for g_i in range(g_chunks):
+            own = chunk_payload(base + g_i)              # [C, pack]
+            adst_all = own[:, hc + h: hc + 2 * h]        # [Ci, h]
+            occ_i = occ_ref[base + g_i]
+
+            def m_body(d_i, m_carry):
+                src = src_ref[base + g_i, d_i]
+                buf = chunk_payload(src)
+                # per-head source max over SUBLANES (no transpose needed)
+                mb = jnp.max(buf[:, hc: hc + h], axis=0, keepdims=True)
+                cand = adst_all + mb                     # [Ci, h]
+                lr = jnp.where(cand >= 0, cand, cand * negative_slope)
+                return jnp.maximum(m_carry, lr)
+
+            m_all = jax.lax.fori_loop(
+                0, occ_i, m_body, jnp.full((c, h), NEG_INF, jnp.float32))
+
+            def acc_body(d_i, acc_carry):
+                src = src_ref[base + g_i, d_i]
+                buf = chunk_payload(src)
+                mult_b = a_ref[g_i, d_i].astype(jnp.float32)
+                bs = jnp.transpose(buf[:, hc: hc + h])   # [H, Cj]
+                maxs = jnp.max(bs, axis=1, keepdims=True)
+                parts = []
+                for hh in range(h):
+                    mb = maxs[hh, 0]
+                    m_h = m_all[:, hh: hh + 1]
+                    cand = adst_all[:, hh: hh + 1] + mb
+                    pa = jnp.exp(cand - m_h)             # [Ci, 1]
+                    na = jnp.exp(negative_slope * cand - m_h)
+                    brow = bs[hh: hh + 1, :]             # [1, Cj]
+                    pb = jnp.exp(brow - mb)
+                    nb_ = jnp.exp(negative_slope * (brow - mb))
+                    t = brow + adst_all[:, hh: hh + 1]   # [Ci, Cj]
+                    e = jnp.where(t >= 0, pa * pb, na * nb_) * mult_b
+                    rhs = jnp.concatenate(
+                        [buf[:, hh * ch: (hh + 1) * ch], ones_col],
+                        axis=1,
+                    )
+                    parts.append(jax.lax.dot(
+                        e, rhs, preferred_element_type=jnp.float32))
+                return acc_carry + jnp.concatenate(parts, axis=1)
+
+            acc_all = jax.lax.fori_loop(
+                0, occ_i, acc_body,
+                jnp.zeros((c, h * (ch + 1)), jnp.float32))
+
+            m_out, s_out, acc_out = [], [], []
+            for hh in range(h):
+                a_ext = acc_all[:, hh * (ch + 1): (hh + 1) * (ch + 1)]
+                s_col = a_ext[:, ch: ch + 1]
+                m_out.append(m_all[:, hh: hh + 1])
+                s_out.append(s_col)
+                if normalize:
+                    acc_out.append(a_ext[:, :ch]
+                                   / jnp.maximum(s_col, 1e-16))
+                else:
+                    acc_out.append(a_ext[:, :ch])
+            out_ref[g_i] = jnp.concatenate(
+                [jnp.concatenate(acc_out, axis=1)]
+                + m_out + s_out
+                + [jnp.zeros((c, pack - hc - 2 * h), jnp.float32)],
+                axis=1,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(
+                (g_chunks, d, c, c),
+                lambda bi, src, occ: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (g_chunks, c, pack),
+            lambda bi, src, occ: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((RING * g_chunks, c, pack), packed3.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, c, pack), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * d * h * c * c * ch,
+            bytes_accessed=(
+                int(np.prod(mult.shape)) * mult.dtype.itemsize
+                + 2 * b_pad * c * pack * 4
+            ),
+            transcendentals=b_pad * d * h * 4 * c,
+        ),
+        interpret=_interpret(),
+    )(src_chunk, occ, mult, packed3)
+
+
 def pack_width(h: int, ch: int) -> int:
     """Payload lane count for an (h, ch) head shape."""
     return ((h * ch + 2 * h + LANE - 1) // LANE) * LANE
@@ -271,6 +434,13 @@ def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
     payload = payload.astype(jnp.float32).reshape(b, c, pack)
     mult = g.a
     src_chunk = g.src_chunk
+    occ = g.slot_occ
+    if occ is None:
+        nz = jnp.any(mult.reshape(b, d, -1) != 0, axis=-1)
+        occ = jnp.max(
+            jnp.where(nz, jnp.arange(1, d + 1, dtype=jnp.int32)[None, :], 0),
+            axis=1,
+        ).astype(jnp.int32)
     if pad_b:
         mult = jnp.concatenate(
             [mult, jnp.zeros((pad_b,) + mult.shape[1:], mult.dtype)], axis=0
@@ -282,12 +452,30 @@ def flash_gat_payload(g: BsdaGraph, payload, h: int, ch: int,
             [payload, jnp.full((pad_b, c, pack), NEG_INF, payload.dtype)],
             axis=0,
         )
+        occ = jnp.concatenate([occ, jnp.zeros(pad_b, occ.dtype)], axis=0)
 
-    out = _flash_gat_call(
-        src_chunk, mult, payload, c=c, g_chunks=g_chunks, d=d, h=h, ch=ch,
-        pack=pack, negative_slope=float(negative_slope),
-        normalize=bool(normalize),
-    )
+    import os
+
+    # occupancy gating pays only when the per-slot work amortizes the
+    # second (m-precompute) pass: same-process A/B at depth 4 reads
+    # h=4 5.94 vs 6.20 ms (gated wins) but h=1 3.75 vs 2.99 (gated
+    # loses — the tiny single-head slot body is cheaper than the extra
+    # pass). Default: gated for h >= 2, unrolled for the skinny final
+    # layer; EGNN_GAT_FWD_GATED=1/0 forces either for A/B.
+    gate_env = os.environ.get("EGNN_GAT_FWD_GATED", "")
+    gated = h >= 2 if gate_env == "" else gate_env != "0"
+    if gated:
+        out = _flash_gat_call_gated(
+            src_chunk, occ, mult, payload, c=c, g_chunks=g_chunks, d=d,
+            h=h, ch=ch, pack=pack, negative_slope=float(negative_slope),
+            normalize=bool(normalize),
+        )
+    else:
+        out = _flash_gat_call(
+            src_chunk, mult, payload, c=c, g_chunks=g_chunks, d=d, h=h,
+            ch=ch, pack=pack, negative_slope=float(negative_slope),
+            normalize=bool(normalize),
+        )
     return out.reshape(b_pad * c, pack)[: b * c]
 
 

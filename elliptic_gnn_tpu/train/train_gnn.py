@@ -170,14 +170,20 @@ def build_train_state(cfg: dict, data, seed: int):
             a_dtype = "bfloat16" if cfg.get("amp", False) else "float32"
         # the explicit-collective path differentiates through shard_map
         # AD (ppermute transposes itself); no A^T encoding needed. GAT
-        # builds the block-transpose whenever the fused attention VJP may
-        # engage — default on TPU since round 3 (kernels/pallas_gat_bwd.py;
-        # docs/PERF_NOTES.md), opt-out via gat_fused_vjp: false. The shared
-        # resolver guarantees this matches the model's dispatch decision.
+        # stopped needing transpose tables in round 5 — the one-sweep
+        # backward walks the forward tables only (pallas_gat_bwd.py) —
+        # EXCEPT when the two-sweep fallback is forced via
+        # EGNN_GAT_ONE_SWEEP=0 (then packed_gat_train_forward requires
+        # g.transpose or silently falls back to autodiff). SAGE/GCN
+        # still route gradients through the A^T encoding.
+        import os as _os
+
         from ..models.modules import resolve_gat_fused
 
         want_transpose = agg != "shard_map" and (
-            kind != "gat" or resolve_gat_fused(cfg)
+            kind != "gat"
+            or (resolve_gat_fused(cfg)
+                and _os.environ.get("EGNN_GAT_ONE_SWEEP", "1") == "0")
         )
         # GAT defaults to depth 4: its occupancy-gated backward skips the
         # extra slot capacity where unused, the near-zero spill (5 rows vs

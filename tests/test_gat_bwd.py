@@ -163,3 +163,57 @@ def test_one_sweep_backward_matches_two_sweep(monkeypatch, depth):
             np.asarray(ct_one), np.asarray(ct_two), rtol=1e-5, atol=1e-5,
             err_msg=f"h={h} ch={ch}",
         )
+
+
+def test_packed_train_forward_without_transpose_tables():
+    """Round 5: the one-sweep backward walks the forward tables only, so
+    the packed training pipeline must engage (and be exact) on a graph
+    built WITHOUT transpose tables — the trainer no longer builds them
+    for GAT."""
+    from elliptic_gnn_tpu.kernels.packed_gat import packed_gat_train_forward
+    from elliptic_gnn_tpu.models.modules import build_model, gat_layer_apply
+
+    rng = np.random.default_rng(31)
+    n = 128 * 40
+    ei, block_ids = _graph(n, 8, 2.5, seed=31)
+    far = np.stack([rng.integers(0, n, 40), rng.integers(0, n, 40)])
+    ei = np.concatenate([ei, far], axis=1).astype(np.int64)
+    rank = bfs_order(ei, n, block_ids)
+    ei = rank[ei]
+    g = build_bsda_for_kind(ei, n, "gat", depth=4, transpose=False)
+    assert g.transpose is None and g.residual is not None
+
+    model = build_model("gat", 16, {"hidden_dim": 16, "layers": 2,
+                                    "heads": 2, "dropout": 0.0})
+    params, _ = model.init(jax.random.PRNGKey(3))
+    x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+
+    def loss_packed(params):
+        logits = packed_gat_train_forward(params["layers"], x, g)
+        assert logits is not None, "pipeline must engage without transpose"
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+    def loss_ref(params):
+        h = x
+        for p in params["layers"][:-1]:
+            h = jax.nn.elu(
+                gat_layer_apply(p, h, g, concat=True, training=True))
+        logits = gat_layer_apply(params["layers"][-1], h, g, concat=False,
+                                 training=True)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+    l_p, g_p = jax.value_and_grad(loss_packed)(params)
+    l_r, g_r = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-5)
+    flat_r = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(g_r)
+    )
+    for k, v in jax.tree_util.tree_leaves_with_path(g_p):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_r[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(k),
+        )
