@@ -371,12 +371,21 @@ def main() -> None:
             return c + jnp.pad(
                 out, ((0, 0), (0, c.shape[1] - out.shape[1]))) * 1e-6
 
+        # explicit fused_vjp=False comparator: since round 5 a
+        # transpose-free graph no longer blocks the packed training
+        # pipeline (the one-sweep backward needs no transpose tables),
+        # so training=True alone stopped selecting the XLA path
+        gat_model_xla = build_model(
+            "gat", N_FEATURES,
+            {"hidden_dim": 32, "layers": 2, "heads": 4, "dropout": 0.0,
+             "gat_fused_vjp": False},
+        )
+
         def gat_fwd_xla(c, params, gg):
-            # training=True with a transpose-free float32 graph bypasses
-            # both packed pipelines -> the generic XLA chunk-pair
-            # formulation (kernels/bsda_gat.py), the same-process
-            # comparator for the paired ratio
-            out, _ = gat_model.apply(params, {}, c, gg, training=True)
+            # training=True + fused_vjp=False -> the generic XLA
+            # chunk-pair formulation (kernels/bsda_gat.py), the
+            # same-process comparator for the paired ratio
+            out, _ = gat_model_xla.apply(params, {}, c, gg, training=True)
             return c + jnp.pad(
                 out, ((0, 0), (0, c.shape[1] - out.shape[1]))) * 1e-6
 
