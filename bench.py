@@ -465,7 +465,9 @@ def main() -> None:
         step_fused = make_step(gt_model)
         step_auto = make_step(gt_auto)
         gat_train_draws = {"fused": [], "autodiff": []}
-        for _rep in range(2):
+        # 3 interleaved draws: a true median headline, robust to one
+        # relay-drift outlier (the fwd stage already draws 3)
+        for _rep in range(3):
             gat_train_draws["fused"].append(differential_time(
                 step_fused, (gt_params, gt_opt), x_gt, y_gt, tm_gt, g_gt,
                 n_small=2, n_big=8, repeats=2,
