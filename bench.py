@@ -240,11 +240,12 @@ def main() -> None:
     dt_unpacked = (
         float(np.median(valid["unpacked"])) if valid.get("unpacked") else None
     )
-    dt_min_draw = min(
-        (min(v) for v in valid.values() if v), default=None
-    )
     dt_pallas = dt_packed if dt_packed is not None else dt_unpacked
     pallas_variant = "packed" if dt_packed is not None else "unpacked"
+    # best draw of the HEADLINE variant only — mixing variants would let
+    # an unpacked draw masquerade as the packed lineage's best
+    dt_min_draw = min(valid[pallas_variant], default=None) \
+        if valid.get(pallas_variant) else None
     dt_xla, _ = differential_time(lambda c, gg: B.bsda_spmm(gg, c), x, g)
     if dt_pallas is None:
         log("[bench] ALL pallas draws non-physical; falling back to XLA "

@@ -341,7 +341,8 @@ def main():
     # in_dim 166 + sin time embed 2; layers 2..3 see hidden 64
     widths = [168, 64, 64]
     projection = project_efficiency(
-        bench_detail, sg, widths, n_params, sizes + [16, 32], amp=True,
+        bench_detail, sg, widths, n_params,
+        sorted(set(sizes) | {16, 32}), amp=True,
     )
     if "error" not in projection:
         for chip in ICI_GBPS:

@@ -352,13 +352,15 @@ def packed_gat_train_forward(layer_params, x, g, rngs=None,
     shapes = [p["w"].shape for p in layer_params]
     if any(not flash_eligible(g, s[1], s[2]) for s in shapes):
         return None
-    if any(g2_pack_width(s[1], s[2]) > 512 for s in shapes):
-        return None
     if all(one_sweep_eligible(g, s[1], s[2]) for s in shapes):
         # the one-sweep backward walks the FORWARD tables only (round
         # 5) — no transpose tables needed (the trainer stops building
-        # them for GAT; ~1/3 of the table bytes + build time saved)
+        # them for GAT; ~1/3 of the table bytes + build time saved) and
+        # no G2 grad-payload is ever built, so its pack limit is moot
         pass
+    elif any(g2_pack_width(s[1], s[2]) > 512 for s in shapes):
+        # two-sweep fallback materializes the [N, pack2] G2 stream
+        return None
     elif g.transpose is not None:
         gT = g.transpose
         if gT.num_chunks != g.num_chunks or gT.chunk != g.chunk:

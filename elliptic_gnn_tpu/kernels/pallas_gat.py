@@ -53,6 +53,48 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def ring_plumbing(x_hbm, ring, sem, g_chunks, nb):
+    """The banded kernels' shared 2-step-lookahead ring copy schedule:
+    G-blocks of the HBM-resident stream are async-copied into a RING-deep
+    VMEM window as the grid walks; returns `chunk_payload(src)` resolving
+    a chunk id to its resident VMEM row. One definition — the DMA
+    start/wait ordering is subtle and must not fork (used by both flash
+    forwards here and every backward sweep in pallas_gat_bwd.py)."""
+    bi = pl.program_id(0)
+
+    def block_copy(gb):
+        slot = jax.lax.rem(gb, RING)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
+            ring.at[pl.ds(slot * g_chunks, g_chunks)],
+            sem,
+        )
+
+    @pl.when(bi == 0)
+    def _():
+        cp = block_copy(0)
+        cp.start()
+        cp.wait()
+        cp1 = block_copy(1)
+        cp1.start()
+        cp1.wait()
+        block_copy(2).start()
+
+    @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
+    def _():
+        block_copy(bi + 1).wait()
+
+    @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
+    def _():
+        block_copy(bi + 2).start()
+
+    def chunk_payload(src):
+        gb = src // g_chunks
+        return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+
+    return chunk_payload
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("c", "g_chunks", "d", "h", "ch", "pack",
@@ -67,36 +109,7 @@ def _flash_gat_call(src_chunk, mult, packed3, *, c, g_chunks, d, h, ch, pack,
     def kernel(src_ref, a_ref, x_hbm, out_ref, ring, sem):
         bi = pl.program_id(0)
         base = bi * g_chunks
-
-        def block_copy(gb):
-            slot = jax.lax.rem(gb, RING)
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
-                ring.at[pl.ds(slot * g_chunks, g_chunks)],
-                sem,
-            )
-
-        @pl.when(bi == 0)
-        def _():
-            cp = block_copy(0)
-            cp.start()
-            cp.wait()
-            cp1 = block_copy(1)
-            cp1.start()
-            cp1.wait()
-            block_copy(2).start()
-
-        @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
-        def _():
-            block_copy(bi + 1).wait()
-
-        @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
-        def _():
-            block_copy(bi + 2).start()
-
-        def chunk_payload(src):
-            gb = src // g_chunks
-            return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+        chunk_payload = ring_plumbing(x_hbm, ring, sem, g_chunks, nb)
 
         ones_col = jnp.ones((c, 1), jnp.float32)
         for g_i in range(g_chunks):
@@ -252,36 +265,7 @@ def _flash_gat_call_gated(src_chunk, occ, mult, packed3, *, c, g_chunks, d,
     def kernel(src_ref, occ_ref, a_ref, x_hbm, out_ref, ring, sem):
         bi = pl.program_id(0)
         base = bi * g_chunks
-
-        def block_copy(gb):
-            slot = jax.lax.rem(gb, RING)
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
-                ring.at[pl.ds(slot * g_chunks, g_chunks)],
-                sem,
-            )
-
-        @pl.when(bi == 0)
-        def _():
-            cp = block_copy(0)
-            cp.start()
-            cp.wait()
-            cp1 = block_copy(1)
-            cp1.start()
-            cp1.wait()
-            block_copy(2).start()
-
-        @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
-        def _():
-            block_copy(bi + 1).wait()
-
-        @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
-        def _():
-            block_copy(bi + 2).start()
-
-        def chunk_payload(src):
-            gb = src // g_chunks
-            return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
+        chunk_payload = ring_plumbing(x_hbm, ring, sem, g_chunks, nb)
 
         ones_col = jnp.ones((c, 1), jnp.float32)
         for g_i in range(g_chunks):

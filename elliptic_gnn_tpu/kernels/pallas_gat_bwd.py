@@ -39,7 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bsda import BsdaGraph
-from .pallas_gat import GROUP, NEG_INF, RING, pack_width
+from .pallas_gat import (
+    GROUP, NEG_INF, RING, pack_width, ring_plumbing as _ring_plumbing,
+)
 
 LANE = 128
 
@@ -51,43 +53,6 @@ def _interpret() -> bool:
 def g2_pack_width(h: int, ch: int) -> int:
     """Grad-payload lanes: [ A_bar (h*ch) | S_bar (h) | a_dst (h) | m (h) ]."""
     return ((h * ch + 3 * h + LANE - 1) // LANE) * LANE
-
-
-def _ring_plumbing(x_hbm, ring, sem, g_chunks, nb):
-    """The fwd kernel's 2-step-lookahead ring copy schedule."""
-    bi = pl.program_id(0)
-
-    def block_copy(gb):
-        slot = jax.lax.rem(gb, RING)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(gb * g_chunks, g_chunks)],
-            ring.at[pl.ds(slot * g_chunks, g_chunks)],
-            sem,
-        )
-
-    @pl.when(bi == 0)
-    def _():
-        cp = block_copy(0)
-        cp.start()
-        cp.wait()
-        cp1 = block_copy(1)
-        cp1.start()
-        cp1.wait()
-        block_copy(2).start()
-
-    @pl.when(jnp.logical_and(bi > 0, bi + 1 < nb))
-    def _():
-        block_copy(bi + 1).wait()
-
-    @pl.when(jnp.logical_and(bi > 0, bi + 2 < nb))
-    def _():
-        block_copy(bi + 2).start()
-
-    def chunk_payload(src):
-        gb = src // g_chunks
-        return ring[jax.lax.rem(gb, RING) * g_chunks + src % g_chunks]
-
-    return chunk_payload
 
 
 @functools.partial(
